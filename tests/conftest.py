@@ -1,0 +1,45 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding logic is exercised without TPU hardware (the driver
+separately compile-checks the TPU path via __graft_entry__.py)."""
+
+import os
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_INPUTS = "/root/reference/inputs"
+
+
+def fixture_path(name: str) -> str:
+    return os.path.join(REFERENCE_INPUTS, name)
+
+
+@pytest.fixture(scope="session")
+def citeseer():
+    from graphaibench_tpu.graph.io import load_graph
+    return load_graph(fixture_path("citeseer"), with_vlabels=True)
+
+
+@pytest.fixture(scope="session")
+def cora():
+    from graphaibench_tpu.graph.io import load_graph
+    return load_graph(fixture_path("cora"), with_vlabels=True)
+
+
+@pytest.fixture(scope="session")
+def tester():
+    from graphaibench_tpu.graph.io import load_graph
+    return load_graph(fixture_path("tester"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
