@@ -1,0 +1,115 @@
+"""Sparse matrix-times-dense-matrix (SpMM) — the GNN aggregation kernel.
+
+out[s] = sum over edges (s -> d) of  w_e * X[d]      (row-gather form)
+
+This is the TPU replacement for the reference's hand-rolled aggregators
+(gcn_aggregator.cpp:48-77 CPU loop, graph_operations.h:85-140 warp
+kernels, cuSPARSE csrmm). Three execution strategies:
+
+  * ``coo``   — X gather by col_idx + segment_sum over edge_src. Always
+                correct; materializes an (E, F) intermediate.
+  * ``ell``   — per degree-bucket dense gather + weighted reduction. XLA
+                fuses gather*weight*sum into one streaming loop, so HBM
+                traffic is ~ E_padded*F reads + N*F writes (near optimal);
+                power-law skew is handled by the pow-2 bucketing instead
+                of warp-level load balancing.
+  * ``dense`` — scatter w into an N x N dense matrix and use the MXU.
+                Wins for small graphs (N up to a few thousand) where the
+                whole adjacency fits comfortably and the MXU is idle
+                anyway.
+
+``spmm`` wraps the strategies in a custom VJP: for the structurally
+symmetric graphs GNNs aggregate over, the adjoint is an SpMM on the same
+topology with transpose-permuted weights (the reference leans on the same
+fact: gcn_aggregator.cpp:35-46; GAT builds the transposed scores with
+csr2csc, gat_aggregator.cpp:175 — here a host-precomputed permutation).
+The weight gradient is an SDDMM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphaibench_tpu.ops.device_graph import DeviceGraph
+
+
+def spmm_coo(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Gather + segment-sum path."""
+    msgs = x[g.col_idx] * w[:, None]
+    return jax.ops.segment_sum(msgs, g.edge_src, num_segments=g.nv)
+
+
+def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Degree-bucketed ELL path. Requires g.ell buckets."""
+    assert g.ell, "DeviceGraph built without ELL buckets"
+    out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
+    w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel slot
+    for b in g.ell:
+        wb = w_pad[b.edge_id]                 # (R, W)
+        gathered = x[b.nbr]                   # (R, W, F)
+        contrib = jnp.einsum("rw,rwf->rf", wb, gathered)
+        out = out.at[b.row_ids].set(contrib)
+    return out
+
+
+def spmm_dense(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Materialize the weighted adjacency and hit the MXU."""
+    a = jnp.zeros((g.nv, g.nv), dtype=x.dtype)
+    a = a.at[g.edge_src, g.col_idx].add(w)
+    # full f32 accumulation: the TPU MXU would otherwise round inputs to
+    # bf16, which breaks allclose parity with the reference CPU path
+    return jnp.dot(a, x, precision=jax.lax.Precision.HIGHEST)
+
+
+_IMPLS = {"coo": spmm_coo, "ell": spmm_ell, "dense": spmm_dense}
+
+
+def _pick_impl(g: DeviceGraph, impl: str) -> str:
+    if impl != "auto":
+        return impl
+    if g.nv <= 4096:
+        return "dense"
+    return "ell" if g.ell else "coo"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def spmm(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    """Differentiable SpMM. ``g`` must be structurally symmetric for the
+    custom adjoint (all reference GNN graphs are); use the raw strategy
+    functions for asymmetric topologies."""
+    return _IMPLS[_pick_impl(g, impl)](g, w, x)
+
+
+def _spmm_fwd(g, w, x, impl):
+    return spmm(g, w, x, impl), (w, x)
+
+
+def _spmm_bwd(g, impl, res, ct):
+    w, x = res
+    assert g.has_transpose, "DeviceGraph built without transpose permutation"
+    # adjoint aggregation: same topology, transpose-permuted weights
+    w_t = w[g.trans_perm]
+    dx = _IMPLS[_pick_impl(g, impl)](g, w_t, ct)
+    # weight gradient: per-edge dot(ct[src], x[dst]) — SDDMM
+    dw = jnp.einsum("ef,ef->e", ct[g.edge_src], x[g.col_idx])
+    return (dw, dx)
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def sddmm_dot(g: DeviceGraph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge dot product s_e = <a[src_e], b[dst_e]> — the reference's
+    score-gradient kernel (gat_aggregator.cpp:106-113,
+    compute_scores_grad_warp graph_operations.h)."""
+    return jnp.einsum("ef,ef->e", a[g.edge_src], b[g.col_idx])
+
+
+def sddmm_add(g: DeviceGraph, sa: jnp.ndarray, sb: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge s_e = sa[src_e] + sb[dst_e] (GAT rank-1 attention logits,
+    gat_aggregator.cpp:57-80: a_l.Wh_i + a_r.Wh_j)."""
+    return sa[g.edge_src] + sb[g.col_idx]

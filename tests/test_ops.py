@@ -1,0 +1,165 @@
+"""Sparse-op tests: every strategy vs a scipy/numpy serial oracle — the
+reference's verifier pattern (SURVEY.md §4) as pytest."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphaibench_tpu.graph import transforms as T
+from graphaibench_tpu.graph.csr import from_edges
+from graphaibench_tpu.graph.generators import rmat, uniform_random
+from graphaibench_tpu.ops.device_graph import to_device_graph
+from graphaibench_tpu.ops.rng import glorot_reference
+from graphaibench_tpu.ops.segment import segment_softmax, segment_softmax_vjp
+from graphaibench_tpu.ops.spmm import (
+    sddmm_add,
+    sddmm_dot,
+    spmm,
+    spmm_coo,
+    spmm_dense,
+    spmm_ell,
+)
+
+
+def spmm_oracle(g, w, x):
+    """Serial gather loop — gcn_aggregator.cpp:48-77 semantics."""
+    out = np.zeros((g.nv, x.shape[1]), dtype=np.float64)
+    src, dst = g.coo()
+    for e in range(g.ne):
+        out[src[e]] += w[e] * x[dst[e]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    g = uniform_random(200, 600, seed=3)
+    return g
+
+
+@pytest.fixture(scope="module")
+def skewed_graph():
+    return rmat(9, 8, seed=7)  # power-law, 512 vertices
+
+
+@pytest.mark.parametrize("impl", [spmm_coo, spmm_ell, spmm_dense])
+def test_spmm_impls_match_oracle(small_graph, impl, rng):
+    g = small_graph
+    dg = to_device_graph(g)
+    x = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    w = rng.standard_normal(g.ne).astype(np.float32)
+    out = np.asarray(impl(dg, jnp.asarray(w), jnp.asarray(x)))
+    ref = spmm_oracle(g, w, x)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_skewed_ell(skewed_graph, rng):
+    g = skewed_graph
+    dg = to_device_graph(g)
+    x = rng.standard_normal((g.nv, 8)).astype(np.float32)
+    w = np.ones(g.ne, dtype=np.float32)
+    out = np.asarray(spmm_ell(dg, jnp.asarray(w), jnp.asarray(x)))
+    ref = spmm_oracle(g, w, x)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_custom_vjp_matches_ad(small_graph, rng):
+    """custom_vjp (transpose-permutation adjoint) vs plain-AD segment_sum."""
+    g = small_graph
+    dg = to_device_graph(g)
+    x = jnp.asarray(rng.standard_normal((g.nv, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+
+    def f_custom(w, x):
+        return jnp.sum(spmm(dg, w, x, "coo") ** 2)
+
+    def f_plain(w, x):
+        return jnp.sum(spmm_coo(dg, w, x) ** 2)
+
+    gw1, gx1 = jax.grad(f_custom, argnums=(0, 1))(w, x)
+    gw2, gx2 = jax.grad(f_plain, argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-3, atol=1e-4)
+
+
+def test_gcn_aggregate_parity_with_reference_loop(small_graph, rng):
+    """Full GCN aggregation: norms * gather, reference update_all oracle."""
+    g = T.add_selfloop(small_graph)
+    dg = to_device_graph(g)
+    w = jnp.asarray(T.gcn_edge_norms(g))
+    x = rng.standard_normal((g.nv, 12)).astype(np.float32)
+    out = np.asarray(spmm(dg, w, jnp.asarray(x)))
+    # oracle: out[src] = sum_e a_src*a_dst*x[dst]
+    vn = T.gcn_vertex_norms(g)
+    ref = np.zeros_like(out, dtype=np.float64)
+    for v in range(g.nv):
+        for d in g.neighbors(v):
+            ref[v] += vn[v] * vn[d] * x[d]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_segment_softmax(small_graph, rng):
+    g = small_graph
+    dg = to_device_graph(g)
+    s = rng.standard_normal(g.ne).astype(np.float32)
+    y = np.asarray(segment_softmax(dg, jnp.asarray(s)))
+    # oracle per row
+    for v in range(g.nv):
+        b, e = g.row_ptr[v], g.row_ptr[v + 1]
+        if e > b:
+            row = s[b:e]
+            ex = np.exp(row - row.max())
+            np.testing.assert_allclose(y[b:e], ex / ex.sum(), rtol=1e-5, atol=1e-6)
+
+
+def test_segment_softmax_vjp(small_graph, rng):
+    g = small_graph
+    dg = to_device_graph(g)
+    s = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+
+    def f(s):
+        return jnp.sum(jnp.sin(segment_softmax(dg, s)))
+
+    auto = jax.grad(f)(s)
+    y = segment_softmax(dg, s)
+    dy = jnp.cos(y)
+    manual = segment_softmax_vjp(dg, y, dy)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(manual), rtol=1e-4, atol=1e-5)
+
+
+def test_sddmm(small_graph, rng):
+    g = small_graph
+    dg = to_device_graph(g)
+    a = rng.standard_normal((g.nv, 6)).astype(np.float32)
+    b = rng.standard_normal((g.nv, 6)).astype(np.float32)
+    dots = np.asarray(sddmm_dot(dg, jnp.asarray(a), jnp.asarray(b)))
+    src, dst = g.coo()
+    ref = np.einsum("ef,ef->e", a[src], b[dst])
+    np.testing.assert_allclose(dots, ref, rtol=1e-4, atol=1e-5)
+    sa = rng.standard_normal(g.nv).astype(np.float32)
+    sb = rng.standard_normal(g.nv).astype(np.float32)
+    adds = np.asarray(sddmm_add(dg, jnp.asarray(sa), jnp.asarray(sb)))
+    np.testing.assert_allclose(adds, sa[src] + sb[dst], rtol=1e-6)
+
+
+def test_glorot_reference_values():
+    """Bit-exact against libstdc++ default_random_engine(1) +
+    uniform_real_distribution<float> (verified against compiled g++)."""
+    w = glorot_reference(4, 5, 1)
+    assert w.shape == (4, 5)
+    np.testing.assert_allclose(
+        w.ravel()[:5],
+        [-0.81648386, -0.60169625, 0.4174018, -0.06752402, 0.0535087],
+        rtol=1e-6,
+    )
+    r = np.sqrt(6.0 / 9)
+    assert np.all(np.abs(w) <= r)
+
+
+def test_isolated_vertices_spmm():
+    g = from_edges([0, 1], [1, 0], 4)  # vertices 2,3 isolated
+    dg = to_device_graph(g)
+    x = jnp.ones((4, 4), dtype=jnp.float32)
+    out = np.asarray(spmm(dg, jnp.ones(2, dtype=jnp.float32), x))
+    np.testing.assert_array_equal(out[2:], 0.0)
+    np.testing.assert_array_equal(out[:2], 1.0)
