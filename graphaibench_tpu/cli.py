@@ -1,0 +1,117 @@
+"""Command-line entry points.
+
+``python -m graphaibench_tpu.cli train <arch> <dataset> [epochs threads
+loss hidden score_drop feat_drop lr layers subg_size val_interval
+inductive]`` mirrors the reference trainer argv (train.cpp:9-14,
+net.cpp:40-64) with one difference: the architecture is a runtime
+argument instead of a compile-time #define (the reference builds
+cpu_train_{gcn,sage,gat,ggnn} binaries).
+
+Dataset resolution: an absolute/existing path is used directly; otherwise
+``$DATASET_PATH/<name>`` (configs.h:5) and finally the bundled reference
+fixtures are tried.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def resolve_dataset(name: str) -> str:
+    if os.path.isdir(name):
+        return name
+    root = os.environ.get("DATASET_PATH")
+    if root and os.path.isdir(os.path.join(root, name)):
+        return os.path.join(root, name)
+    bundled = os.path.join("/root/reference/inputs", name)
+    if os.path.isdir(bundled):
+        return bundled
+    raise SystemExit(f"dataset '{name}' not found (set DATASET_PATH)")
+
+
+def cmd_train(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(
+            "usage: train <arch> <dataset> [epochs=10] [threads=0] "
+            "[loss=softmax] [hidden=16] [score_drop=0] [feat_drop=0] "
+            "[lr=0.02] [layers=2] [subg_size=0] [val_interval=50] "
+            "[inductive=0]"
+        )
+        return 2
+    from graphaibench_tpu.graph.io import load_gnn_dataset
+    from graphaibench_tpu.nn import Model, make_config
+
+    arch = argv[0]
+    path = resolve_dataset(argv[1])
+
+    def arg(i, default, cast):
+        return cast(argv[i]) if len(argv) > i else default
+
+    epochs = arg(2, 10, int)
+    _threads = arg(3, 0, int)  # accepted for CLI parity; XLA manages threads
+    loss = arg(4, "softmax", str)
+    hidden = arg(5, 16, int)
+    score_drop = arg(6, 0.0, float)
+    feat_drop = arg(7, 0.0, float)
+    lr = arg(8, 0.02, float)
+    layers = arg(9, 2, int)
+    subg_size = arg(10, 0, int)
+    val_interval = arg(11, 50, int)
+    inductive = bool(arg(12, 0, int)) or subg_size > 0
+
+    is_sigmoid = loss == "sigmoid"
+    ds = load_gnn_dataset(path, is_single_class=not is_sigmoid)
+    cfg = make_config(
+        arch, layers, ds.feat_len, hidden, ds.num_classes,
+        subg_size=subg_size, feat_drop=feat_drop, score_drop=score_drop,
+        lr=lr, is_sigmoid=is_sigmoid,
+    )
+    print(
+        f"num_vertices = {ds.graph.nv}, num_edges = {ds.graph.ne}, "
+        f"num_layers = {cfg.num_layers},\nnum_epochs = {epochs}, "
+        f"input_length = {ds.feat_len}, hidden_length = {hidden}, "
+        f"num_classes = {ds.num_classes},\nfeat_drop = {feat_drop}, "
+        f"score_drop = {score_drop}, subg_size = {subg_size}, "
+        f"val_interval = {val_interval}, learning_rate = {lr}"
+    )
+    if subg_size > 0:
+        from graphaibench_tpu.nn.sampler import SaintSampler  # noqa: F401
+        model = Model(cfg, ds, inductive=True)
+        model.train_sampled(epochs, subg_size, val_interval=val_interval)
+    else:
+        model = Model(cfg, ds, inductive=inductive)
+        model.train(epochs, val_interval=val_interval)
+    print(f"Test accuracy: {model.evaluate('test'):.4f}")
+    return 0
+
+
+def cmd_analytics(argv: list[str]) -> int:
+    """<kernel> <dataset> [args...] — analytics solvers with verifiers."""
+    if len(argv) < 2:
+        print("usage: analytics <tc|bfs|sssp|pr|cc|bc|kcore|color|cf|sample> <dataset> [...]")
+        return 2
+    from graphaibench_tpu.analytics import run_benchmark
+
+    return run_benchmark(argv[0], resolve_dataset(argv[1]), argv[2:])
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: graphaibench_tpu.cli <train|analytics|compress> ...")
+        return 2
+    cmd = sys.argv[1]
+    if cmd == "train":
+        return cmd_train(sys.argv[2:])
+    if cmd == "analytics":
+        return cmd_analytics(sys.argv[2:])
+    if cmd == "compress":
+        from graphaibench_tpu.compress.cli import main as compress_main
+
+        return compress_main(sys.argv[2:])
+    print(f"unknown command {cmd!r}")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

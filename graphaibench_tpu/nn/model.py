@@ -1,0 +1,189 @@
+"""The training Model: the runtime analog of Model<gconv_layer>
+(src/gnn/net.cpp / include/gnn/net.h), rebuilt around jitted pure steps.
+
+Responsibilities: graph preparation per architecture (selfloops for
+GCN/GAT/GGNN but not SAGE — net.cpp:96; inductive masked training graph
+— net.cpp:161-164), per-arch aggregation weights, the jitted
+train/eval steps, and the epoch loop with reference-style metrics
+(train_loss/train_acc/val_acc lines, epoch/s throughput — net.cpp:361-419).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphaibench_tpu.graph import transforms as T
+from graphaibench_tpu.graph.csr import CSRGraph
+from graphaibench_tpu.graph.io import GnnDataset
+from graphaibench_tpu.nn import optim
+from graphaibench_tpu.nn.layers import ModelConfig, apply_model, init_params
+from graphaibench_tpu.nn.losses import masked_sigmoid_loss, masked_softmax_loss
+from graphaibench_tpu.ops import math as gmath
+from graphaibench_tpu.ops.device_graph import DeviceGraph, to_device_graph
+
+
+def prepare_graph(g: CSRGraph, arch: str) -> CSRGraph:
+    """Selfloop insertion for all archs except SAGE (net.cpp:96)."""
+    return g if arch == "sage" else T.add_selfloop(g)
+
+
+def aggregation_weights(g: CSRGraph, arch: str) -> np.ndarray:
+    """Static per-edge aggregation weights by architecture; GAT computes
+    attention scores at runtime so gets ones (unused)."""
+    if arch == "gcn":
+        return T.gcn_edge_norms(g)
+    if arch == "sage":
+        return T.sage_edge_norms(g)
+    return np.ones(g.ne, dtype=np.float32)  # gat (unused) / ggnn (sum)
+
+
+@dataclasses.dataclass
+class GraphBundle:
+    """A prepared graph + its device form + static aggregation weights."""
+
+    host: CSRGraph
+    device: DeviceGraph
+    edge_w: jnp.ndarray
+
+    @classmethod
+    def build(cls, g: CSRGraph, arch: str, *, with_ell: bool = True) -> "GraphBundle":
+        prepped = prepare_graph(g, arch)
+        return cls(
+            host=prepped,
+            device=to_device_graph(prepped, with_ell=with_ell),
+            edge_w=jnp.asarray(aggregation_weights(prepped, arch)),
+        )
+
+
+class Model:
+    """End-to-end trainer. Usage:
+
+        model = Model(cfg, dataset)
+        model.train(num_epochs)
+        acc = model.evaluate("test")
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        data: GnnDataset,
+        *,
+        inductive: bool = False,
+        optimizer: str = "adam",
+        seed: int = 0,
+        with_ell: bool = True,
+    ):
+        self.cfg = cfg
+        self.data = data
+        self.inductive = inductive
+        self.full = GraphBundle.build(data.graph, cfg.arch, with_ell=with_ell)
+        if inductive:
+            masked = T.masked_subgraph(data.graph, data.train_mask)
+            self.training = GraphBundle.build(masked, cfg.arch, with_ell=with_ell)
+        else:
+            self.training = self.full
+
+        self.params = init_params(cfg)
+        self.opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
+        self.opt_state = self.opt.init(self.params)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.feats = jnp.asarray(data.feats)
+        if cfg.is_sigmoid:
+            self.labels = jnp.asarray(data.labels.astype(np.float32))
+        else:
+            self.labels = jnp.asarray(data.labels.astype(np.int32))
+        self.masks = {
+            "train": jnp.asarray(data.train_mask),
+            "val": jnp.asarray(data.val_mask),
+            "test": jnp.asarray(data.test_mask),
+        }
+        self.ranges = {
+            "train": data.train_range,
+            "val": data.val_range,
+            "test": data.test_range,
+        }
+        self._train_step = jax.jit(self._train_step_fn)
+        self._eval_logits = jax.jit(self._eval_logits_fn)
+
+    # -- pure step functions ----------------------------------------------
+    def _loss(self, params, dg, edge_w, key):
+        begin, end, _ = self.ranges["train"]
+        logits = apply_model(
+            self.cfg, params, dg, edge_w, self.feats, train=True, key=key
+        )
+        if self.cfg.is_sigmoid:
+            lg, rep, probs = masked_sigmoid_loss(
+                logits, self.labels, begin, end, self.masks["train"]
+            )
+        else:
+            lg, rep, probs = masked_softmax_loss(
+                logits, self.labels, begin, end, self.masks["train"]
+            )
+        return lg, (rep, logits, probs)
+
+    def _train_step_fn(self, params, opt_state, key):
+        dg, edge_w = self.training.device, self.training.edge_w
+        grads, (rep_loss, logits, probs) = jax.grad(self._loss, has_aux=True)(
+            params, dg, edge_w, key
+        )
+        new_params, new_opt_state = self.opt.update(grads, opt_state, params)
+        begin, end, _ = self.ranges["train"]
+        valid = (jnp.arange(logits.shape[0]) >= begin) & (
+            jnp.arange(logits.shape[0]) < end
+        ) & (self.masks["train"] != 0)
+        if self.cfg.is_sigmoid:
+            acc = gmath.masked_f1_micro(probs, self.labels, valid)
+        else:
+            acc = gmath.masked_accuracy_single(logits, self.labels, valid)
+        return new_params, new_opt_state, rep_loss, acc
+
+    def _eval_logits_fn(self, params):
+        return apply_model(
+            self.cfg, params, self.full.device, self.full.edge_w,
+            self.feats, train=False,
+        )
+
+    # -- public API --------------------------------------------------------
+    def train_epoch(self) -> tuple[float, float]:
+        self.key, sub = jax.random.split(self.key)
+        self.params, self.opt_state, loss, acc = self._train_step(
+            self.params, self.opt_state, sub
+        )
+        return float(loss), float(acc)
+
+    def train(self, num_epochs: int, *, val_interval: int = 50, verbose: bool = True):
+        total = 0.0
+        for epoch in range(num_epochs):
+            t0 = time.perf_counter()
+            loss, acc = self.train_epoch()
+            dt = time.perf_counter() - t0
+            total += dt
+            if verbose:
+                line = f"Epoch {epoch:3d} train_loss {loss:.3f} train_acc {acc:.3f}"
+                if epoch % val_interval == 0 and epoch != 0:
+                    line += f" val_acc {self.evaluate('val'):.3f}"
+                print(f"{line} time {dt:.4f} s")
+        if verbose and num_epochs:
+            print(
+                f"Average training time per epoch: {total / num_epochs:.5f} "
+                f"seconds. Throughput {num_epochs / max(total, 1e-12):.2f} epoch/s"
+            )
+        return total
+
+    def evaluate(self, split: str = "test") -> float:
+        logits = self._eval_logits(self.params)
+        begin, end, _ = self.ranges[split]
+        idx = jnp.arange(logits.shape[0])
+        valid = (idx >= begin) & (idx < end) & (self.masks[split] != 0)
+        if self.cfg.is_sigmoid:
+            return float(
+                gmath.masked_f1_micro(jax.nn.sigmoid(logits), self.labels, valid)
+            )
+        return float(gmath.masked_accuracy_single(logits, self.labels, valid))

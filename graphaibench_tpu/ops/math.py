@@ -67,6 +67,7 @@ def masked_f1_micro(
 
 
 def l2norm_rows(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Row-wise L2 normalization (l2norm_layer.cpp:19-38)."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """Row-wise L2 normalization. The squared-sum is clamped at 1e-12
+    *before* the sqrt, exactly like l2norm_layer.cpp:19-38."""
+    sum_x2 = jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), eps)
+    return x / jnp.sqrt(sum_x2)
