@@ -107,13 +107,15 @@ def build_ell_buckets(g: CSRGraph, max_width: Optional[int] = None) -> list[EllB
         lo = w // 2 if w > 1 else 0
         rows = np.nonzero((deg > lo) & (deg <= w))[0].astype(np.int32)
         r = len(rows)
-        nbr = np.zeros((r, w), dtype=np.int32)
-        eid = np.full((r, w), ne, dtype=np.int32)
-        for i, v in enumerate(rows):
-            b, e = row_ptr[v], row_ptr[v + 1]
-            d = int(e - b)
-            nbr[i, :d] = g.col_idx[b:e]
-            eid[i, :d] = np.arange(b, e, dtype=np.int32)
+        # vectorized packing: slot (i, j) is edge row_ptr[rows[i]] + j when
+        # j < deg[rows[i]], else padding
+        starts = row_ptr[rows][:, None]                      # (r, 1)
+        offs = np.arange(w, dtype=np.int64)[None, :]         # (1, w)
+        pos = starts + offs
+        in_row = offs < deg[rows][:, None]
+        pos_c = np.where(in_row, pos, 0)
+        nbr = np.where(in_row, g.col_idx[pos_c], 0).astype(np.int32)
+        eid = np.where(in_row, pos_c, ne).astype(np.int32)
         buckets.append(
             EllBucket(
                 row_ids=jnp.asarray(rows),

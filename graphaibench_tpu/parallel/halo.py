@@ -1,0 +1,84 @@
+"""shard_map building blocks: halo exchange + sharded aggregation.
+
+The communication pattern replacing NVSHMEM mid-kernel remote fetches
+(bs_warp_vertex_nvshmem.cuh:30-34): between GNN layers each shard ships
+its boundary vertex features to the peers that need them with ONE
+``all_to_all`` over the mesh axis (ICI), then aggregates entirely
+locally. Gradients of the exchange transpose automatically (all_to_all
+is its own transpose up to permutation), so the same code path trains.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+AXIS = "graph"  # mesh axis name for graph (vertex) sharding
+
+
+def halo_exchange(
+    x_own: jnp.ndarray,      # (nv_pad, F) this shard's owned rows
+    send_idx: jnp.ndarray,   # (P, s_max)
+    halo_map: jnp.ndarray,   # (h_max,)
+    *,
+    axis: str = AXIS,
+) -> jnp.ndarray:
+    """Returns x_halo (h_max, F): the remote rows this shard reads."""
+    send_buf = x_own[send_idx]                      # (P, s_max, F)
+    recv = jax.lax.all_to_all(send_buf, axis, 0, 0)  # (P, s_max, F)
+    flat = recv.reshape(-1, x_own.shape[1])          # (P*s_max, F)
+    return flat[halo_map]
+
+
+def sharded_spmm_local(
+    edge_src: jnp.ndarray,   # (e_max,)
+    col_idx: jnp.ndarray,    # (e_max,) extended-local
+    w: jnp.ndarray,          # (e_max,)
+    x_ext: jnp.ndarray,      # (nv_pad + h_max, F)
+    nv_pad: int,
+) -> jnp.ndarray:
+    msgs = x_ext[col_idx] * w[:, None]
+    return jax.ops.segment_sum(msgs, edge_src, num_segments=nv_pad)
+
+
+def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS):
+    """Returns a jittable f(x_padded_global) -> aggregated rows, where
+    x is row-sharded over the mesh axis. ``sg`` is a host ShardedGraph.
+    Used directly for distributed analytics (e.g. PageRank) and as the
+    template for the sharded GNN layers."""
+    nv_pad = sg.nv_pad
+
+    def local(x_own, edge_src, col_idx, w, send_idx, halo_map):
+        # shard_map gives per-shard blocks with a leading axis of 1
+        x_own = x_own.reshape(nv_pad, -1)
+        x_halo = halo_exchange(x_own, send_idx[0], halo_map[0], axis=axis)
+        x_ext = jnp.concatenate([x_own, x_halo], axis=0)
+        out = sharded_spmm_local(edge_src[0], col_idx[0], w[0], x_ext, nv_pad)
+        return out
+
+    spec_v = P(axis, None)       # vertex-sharded rows
+    spec_e = P(axis, None)       # per-shard edge arrays
+    spec_s = P(axis, None, None)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_v, spec_e, spec_e, spec_e, spec_s, spec_e),
+        out_specs=spec_v,
+        check_vma=False,
+    )
+
+    edge_src = jnp.asarray(sg.edge_src)
+    col_idx = jnp.asarray(sg.col_idx)
+    w = jnp.asarray(sg.edge_w)
+    send_idx = jnp.asarray(sg.send_idx)
+    halo_map = jnp.asarray(sg.halo_map)
+
+    @jax.jit
+    def spmm_fn(x_padded):
+        return fn(x_padded, edge_src, col_idx, w, send_idx, halo_map)
+
+    return spmm_fn

@@ -1,0 +1,183 @@
+"""Distributed full-batch GNN training over a device mesh.
+
+The multi-chip/multi-host training path (BASELINE.json north star):
+vertex-sharded features, per-shard local CSR with halo exchange between
+layers (parallel.halo), replicated weights, gradient psum over the mesh
+axis — pjit/shard_map replacing the reference's per-GPU host threads +
+MPI_Allreduce + NVSHMEM (SURVEY.md §2.4).
+
+Supports GCN and SAGE (static aggregation weights). Distributed GAT
+needs per-edge runtime scores with a validity mask in the segment
+softmax — wired through ``edge_valid`` (TODO in round 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphaibench_tpu.nn.layers import ModelConfig
+from graphaibench_tpu.nn import optim
+from graphaibench_tpu.ops import math as gmath
+from graphaibench_tpu.parallel.halo import AXIS, halo_exchange, sharded_spmm_local
+from graphaibench_tpu.parallel.partition import ShardedGraph, pad_rows
+
+
+def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS):
+    """Per-shard forward of the gconv stack. ``ga`` holds this shard's
+    graph arrays (leading axis already stripped)."""
+    nv_pad = x_own.shape[0]
+
+    def aggregate(h):
+        halo = halo_exchange(h, ga["send_idx"], ga["halo_map"], axis=axis)
+        h_ext = jnp.concatenate([h, halo], axis=0)
+        return sharded_spmm_local(ga["edge_src"], ga["col_idx"], ga["edge_w"],
+                                  h_ext, nv_pad)
+
+    h = x_own
+    for l, (din, dout, act) in enumerate(cfg.gconv_dims):
+        p = params["gconv"][l]
+        if din > dout:
+            t = jnp.dot(h, p["W_neigh"], precision=jax.lax.Precision.HIGHEST)
+            out = aggregate(t)
+        else:
+            t = aggregate(h)
+            out = jnp.dot(t, p["W_neigh"], precision=jax.lax.Precision.HIGHEST)
+        if cfg.arch == "sage":
+            out = out + jnp.dot(h, p["W_self"],
+                                precision=jax.lax.Precision.HIGHEST)
+        h = jax.nn.relu(out) if act else out
+    if cfg.use_l2norm:
+        h = gmath.l2norm_rows(h)
+    if cfg.use_dense:
+        h = jnp.dot(h, params["dense"]["W"],
+                    precision=jax.lax.Precision.HIGHEST)
+    return h
+
+
+@dataclasses.dataclass
+class ShardedTrainer:
+    """Jitted sharded train/eval functions bound to one mesh + graph."""
+
+    mesh: Mesh
+    train_step: Callable  # (params, opt_state) -> (params, opt_state, loss)
+    eval_logits: Callable  # (params) -> (nv, C) on host logical shape
+    nv: int
+
+
+def make_sharded_trainer(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    sg: ShardedGraph,
+    feats: np.ndarray,
+    labels: np.ndarray,
+    train_range: tuple[int, int, int],
+    train_mask: np.ndarray,
+    *,
+    optimizer: str = "adam",
+    axis: str = AXIS,
+) -> ShardedTrainer:
+    assert cfg.arch in ("gcn", "sage"), "distributed GAT lands in round 2"
+    begin, end, _count = train_range
+    nv, nv_total = sg.nv, sg.padded_nv
+
+    x_pad = pad_rows(feats.astype(np.float32), nv_total)
+    lab_pad = pad_rows(labels.astype(np.int32), nv_total)
+    idx = np.arange(nv_total)
+    valid_np = (idx >= begin) & (idx < end) & (idx < nv)
+    valid_np &= pad_rows(np.asarray(train_mask) != 0, nv_total)
+    count = max(int(valid_np.sum()), 1)
+
+    shard_v = NamedSharding(mesh, P(axis))
+    shard_e = NamedSharding(mesh, P(axis))
+    x_d = jax.device_put(x_pad, NamedSharding(mesh, P(axis, None)))
+    lab_d = jax.device_put(lab_pad, shard_v)
+    valid_d = jax.device_put(valid_np, shard_v)
+    graph_arrays = {
+        "edge_src": jax.device_put(jnp.asarray(sg.edge_src), shard_e),
+        "col_idx": jax.device_put(jnp.asarray(sg.col_idx), shard_e),
+        "edge_w": jax.device_put(jnp.asarray(sg.edge_w), shard_e),
+        "send_idx": jax.device_put(jnp.asarray(sg.send_idx),
+                                   NamedSharding(mesh, P(axis, None, None))),
+        "halo_map": jax.device_put(jnp.asarray(sg.halo_map), shard_e),
+    }
+    opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
+
+    def _strip(ga):
+        return {
+            "edge_src": ga["edge_src"][0],
+            "col_idx": ga["col_idx"][0],
+            "edge_w": ga["edge_w"][0],
+            "send_idx": ga["send_idx"][0],
+            "halo_map": ga["halo_map"][0],
+        }
+
+    def local_loss(params, x_own, lab_own, valid_own, ga):
+        logits = _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis)
+        probs = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(lab_own, logits.shape[-1], dtype=logits.dtype)
+        ce = gmath.cross_entropy(onehot, probs)
+        ce = jnp.where(valid_own, ce, 0.0)
+        total = jax.lax.psum(jnp.sum(ce), axis)
+        # reference gradient scaling: / (end - begin)
+        return total / max(end - begin, 1)
+
+    def local_step(params, opt_state, x_own, lab_own, valid_own, *ga_flat):
+        ga = dict(zip(("edge_src", "col_idx", "edge_w", "send_idx", "halo_map"),
+                      ga_flat))
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, x_own, lab_own, valid_own, ga
+        )
+        grads = jax.lax.psum(grads, axis)
+        new_params, new_opt = opt.update(grads, opt_state, params)
+        return new_params, new_opt, loss * (end - begin) / count
+
+    ga_specs = (P(axis, None), P(axis, None), P(axis, None),
+                P(axis, None, None), P(axis, None))
+    params_spec = jax.tree.map(lambda _: P(), {"gconv": [
+        {} for _ in range(cfg.num_layers)], **({"dense": {}} if cfg.use_dense else {})})
+
+    step_sm = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis), P(axis)) + ga_specs,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state):
+        return step_sm(params, opt_state, x_d, lab_d, valid_d,
+                       graph_arrays["edge_src"], graph_arrays["col_idx"],
+                       graph_arrays["edge_w"], graph_arrays["send_idx"],
+                       graph_arrays["halo_map"])
+
+    def local_logits(params, x_own, *ga_flat):
+        ga = dict(zip(("edge_src", "col_idx", "edge_w", "send_idx", "halo_map"),
+                      ga_flat))
+        return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis)
+
+    logits_sm = jax.shard_map(
+        local_logits,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)) + ga_specs,
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def eval_logits(params):
+        out = logits_sm(params, x_d,
+                        graph_arrays["edge_src"], graph_arrays["col_idx"],
+                        graph_arrays["edge_w"], graph_arrays["send_idx"],
+                        graph_arrays["halo_map"])
+        return out[:nv]
+
+    return ShardedTrainer(mesh=mesh, train_step=train_step,
+                          eval_logits=eval_logits, nv=nv)

@@ -1,0 +1,141 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the
+sharded path must reproduce the single-device results exactly (it is the
+same math, reorganized)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from graphaibench_tpu.graph import transforms as T
+from graphaibench_tpu.graph.generators import rmat, uniform_random
+from graphaibench_tpu.graph.partition import (
+    csr_segmenting,
+    edgecut_induced_partition_1d,
+    edgecut_partition_1d,
+    schedule_least_first,
+    schedule_round_robin,
+)
+from graphaibench_tpu.nn import Model, ModelConfig
+from graphaibench_tpu.nn.layers import init_params
+from graphaibench_tpu.ops.device_graph import to_device_graph
+from graphaibench_tpu.ops.spmm import spmm_coo
+from graphaibench_tpu.parallel import (
+    AXIS,
+    build_sharded_graph,
+    make_sharded_spmm,
+    make_sharded_trainer,
+    pad_rows,
+)
+
+
+def make_mesh(n=8):
+    return Mesh(np.array(jax.devices()[:n]), (AXIS,))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_host_partitioners():
+    g = uniform_random(300, 900, seed=11)
+    bounds = edgecut_partition_1d(g, 4)
+    assert bounds[0] == 0 and bounds[-1] == g.nv
+    assert np.all(np.diff(bounds) >= 0)
+    parts = edgecut_induced_partition_1d(g, 4)
+    # every edge out of a master appears in exactly one part
+    total = sum(p.subgraph.ne for p in parts)
+    assert total == g.ne
+    for p in parts:
+        # master-local ids map back to the global range
+        lo, hi = p.global_range
+        np.testing.assert_array_equal(
+            p.local_to_global[: p.num_masters], np.arange(lo, hi)
+        )
+    segs = csr_segmenting(g, 64)
+    assert sum(s.ne for s in segs.segments) == g.ne
+    rr = schedule_round_robin(g.ne, 3, chunk_size=16)
+    assert sum(len(c) for c in rr) == g.ne
+    lf = schedule_least_first(g, 3, chunk_size=16)
+    assert sum(len(c) for c in lf) == g.ne
+
+
+def test_sharded_spmm_matches_single(mesh):
+    g = rmat(9, 8, seed=3)  # 512 vertices, power-law
+    w = T.gcn_edge_norms(T.add_selfloop(g))
+    gsl = T.add_selfloop(g)
+    sg = build_sharded_graph(gsl, w, mesh.devices.size)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((gsl.nv, 32)).astype(np.float32)
+
+    spmm_fn = make_sharded_spmm(mesh, sg)
+    out_sharded = np.asarray(spmm_fn(jnp.asarray(pad_rows(x, sg.padded_nv))))[: gsl.nv]
+
+    dg = to_device_graph(gsl, with_ell=False)
+    out_single = np.asarray(spmm_coo(dg, jnp.asarray(w), jnp.asarray(x)))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["gcn", "sage"])
+def test_sharded_training_matches_single_device(mesh, arch):
+    """Loss trajectory of the 8-shard halo-exchange trainer must track the
+    single-device Model (same init, same data)."""
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.model import GraphBundle, aggregation_weights, prepare_graph
+
+    g = uniform_random(240, 700, seed=5)
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((g.nv, 12)).astype(np.float32)
+    labels = rng.integers(0, 5, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, 120, 120)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=5,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch=arch, num_layers=2, dim_init=12, dim_hid=8,
+                      num_cls=5, lr=0.02)
+
+    single = Model(cfg, ds)
+
+    prepped = prepare_graph(g, arch)
+    w = aggregation_weights(prepped, arch)
+    sg = build_sharded_graph(prepped, w, mesh.devices.size)
+    trainer = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask)
+
+    params = init_params(cfg)
+    from graphaibench_tpu.nn.optim import Adam
+    opt_state = Adam(lr=cfg.lr).init(params)
+
+    # eval logits at identical initial params must agree tightly
+    lg_d = np.asarray(trainer.eval_logits(params))
+    lg_s = np.asarray(single._eval_logits(single.params))
+    np.testing.assert_allclose(lg_d, lg_s, rtol=1e-4, atol=1e-5)
+
+    for step in range(3):
+        s_loss, _ = single.train_epoch()
+        params, opt_state, d_loss = trainer.train_step(params, opt_state)
+        assert abs(s_loss - float(d_loss)) < 2e-4, (step, s_loss, float(d_loss))
+
+    # weights track closely; exact equality is impossible because Adam's
+    # early grad/sqrt(v) step amplifies f32 summation-order noise to
+    # ~±lr for elements whose gradient is ~0
+    for l in range(2):
+        np.testing.assert_allclose(
+            np.asarray(params["gconv"][l]["W_neigh"]),
+            np.asarray(single.params["gconv"][l]["W_neigh"]),
+            atol=3 * cfg.lr,
+        )
+
+
+def test_sharded_spmm_empty_shards(mesh):
+    """Graph smaller than the shard count still works (trailing shards
+    own only padding)."""
+    g = T.add_selfloop(uniform_random(10, 20, seed=1))
+    w = np.ones(g.ne, dtype=np.float32)
+    sg = build_sharded_graph(g, w, mesh.devices.size)
+    x = np.ones((g.nv, 4), dtype=np.float32)
+    out = np.asarray(make_sharded_spmm(mesh, sg)(jnp.asarray(pad_rows(x, sg.padded_nv))))
+    deg = g.degrees().astype(np.float32)
+    np.testing.assert_allclose(out[: g.nv, 0], deg, rtol=1e-5)
