@@ -158,7 +158,9 @@ def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
     sl = h @ p["alpha_l"]
     sr = h @ p["alpha_r"]
     logits = gmath.leaky_relu(sddmm_add(dg, sl, sr), 0.2)
-    scores = segment_softmax(dg, logits)
+    # edge_w is 1 for ordinary graphs (reference semantics); for padded
+    # sampled subgraphs it is the edge-validity mask zeroing fake edges
+    scores = segment_softmax(dg, logits) * edge_w
     if train and cfg.score_drop > 0.0 and key is not None:
         k2 = jax.random.fold_in(key, 1)
         scores, _ = gmath.dropout(k2, scores, cfg.score_drop)

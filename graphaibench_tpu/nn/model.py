@@ -177,6 +177,101 @@ class Model:
             )
         return total
 
+    def train_sampled(
+        self,
+        num_epochs: int,
+        subg_size: int,
+        *,
+        val_interval: int = 50,
+        verbose: bool = True,
+        seed: int = 0,
+    ):
+        """GraphSAINT subgraph-sampled training (Model::subgraph_sampling,
+        net.cpp:288-358): each epoch trains on a fresh frontier-sampled
+        subgraph of ~subg_size vertices; evaluation uses the full graph.
+        Subgraph arrays are padded to fixed shapes so the step compiles
+        once."""
+        from graphaibench_tpu.nn.sampler import SaintSampler
+        from graphaibench_tpu.nn.losses import masked_softmax_loss  # noqa: F401
+        from graphaibench_tpu.ops.device_graph import DeviceGraph
+        import jax.numpy as jnp
+
+        sampler = SaintSampler(
+            self.data.graph, self.training.host, self.data.train_mask
+        )
+        n_pad = -(-subg_size // 8) * 8
+        avg_deg = max(self.training.host.ne // max(self.training.host.nv, 1), 1)
+        e_pad = -(-(n_pad * (avg_deg + 2)) // 64) * 64
+
+        feats_np = np.asarray(self.data.feats)
+        labels_np = np.asarray(self.data.labels)
+
+        def sampled_step(params, opt_state, dg, edge_w, x, lab, valid, denom):
+            def loss_fn(params):
+                logits = apply_model(self.cfg, params, dg, edge_w, x, train=True)
+                probs = jax.nn.softmax(logits, axis=-1)
+                onehot = jax.nn.one_hot(lab, logits.shape[-1], dtype=logits.dtype)
+                ce = jnp.where(valid, gmath.cross_entropy(onehot, probs), 0.0)
+                return jnp.sum(ce) / denom, logits
+
+            grads, logits = jax.grad(loss_fn, has_aux=True)(params)
+            new_params, new_opt = self.opt.update(grads, opt_state, params)
+            acc = gmath.masked_accuracy_single(logits, lab, valid)
+            loss_rep = loss_fn(params)[0]
+            return new_params, new_opt, loss_rep, acc
+
+        step = jax.jit(sampled_step)
+
+        total = 0.0
+        for epoch in range(num_epochs):
+            t0 = time.perf_counter()
+            sub, l2g, _mask = sampler.generate_subgraph(subg_size, seed + epoch)
+            sub = prepare_graph(sub, self.cfg.arch)
+            n_real, e_real = sub.nv, sub.ne
+            if e_real > e_pad:  # grow the pad (recompiles once)
+                e_pad = -(-e_real // 64) * 64
+            w = aggregation_weights(sub, self.cfg.arch)
+
+            # pad to (n_pad, e_pad)
+            src, dst = sub.coo()
+            es = np.full(e_pad, n_pad - 1, dtype=np.int32)
+            cd = np.zeros(e_pad, dtype=np.int32)
+            ww = np.zeros(e_pad, dtype=np.float32)
+            es[:e_real], cd[:e_real] = src, dst
+            # for GAT edge_w is the validity mask; others carry norms
+            ww[:e_real] = 1.0 if self.cfg.arch == "gat" else w
+            tp = np.arange(e_pad, dtype=np.int32)
+            tp[:e_real] = T.transpose_edge_permutation(sub)
+            deg = np.zeros(n_pad, dtype=np.int32)
+            deg[:n_real] = sub.degrees()
+            dg = DeviceGraph(
+                row_ptr=jnp.zeros(n_pad + 1, jnp.int32),  # unused in coo path
+                col_idx=jnp.asarray(cd), edge_src=jnp.asarray(es),
+                deg=jnp.asarray(deg), trans_perm=jnp.asarray(tp),
+                ell=(), nv=n_pad, ne=e_pad,
+            )
+            x = np.zeros((n_pad, feats_np.shape[1]), dtype=np.float32)
+            x[:n_real] = feats_np[l2g]
+            lab = np.zeros(n_pad, dtype=np.int32)
+            lab[:n_real] = labels_np[l2g]
+            valid = np.zeros(n_pad, dtype=bool)
+            valid[:n_real] = True
+
+            self.params, self.opt_state, loss, acc = step(
+                self.params, self.opt_state, dg, jnp.asarray(ww),
+                jnp.asarray(x), jnp.asarray(lab), jnp.asarray(valid),
+                jnp.float32(n_real),
+            )
+            dt = time.perf_counter() - t0
+            total += dt
+            if verbose:
+                line = (f"Epoch {epoch:3d} subg_nv {n_real} train_loss "
+                        f"{float(loss):.3f} train_acc {float(acc):.3f}")
+                if epoch % val_interval == 0 and epoch != 0:
+                    line += f" val_acc {self.evaluate('val'):.3f}"
+                print(f"{line} time {dt:.4f} s")
+        return total
+
     def evaluate(self, split: str = "test") -> float:
         logits = self._eval_logits(self.params)
         begin, end, _ = self.ranges[split]

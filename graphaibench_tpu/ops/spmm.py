@@ -76,7 +76,20 @@ def _pick_impl(g: DeviceGraph, impl: str) -> str:
     return "ell" if g.ell else "coo"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _zero_cotangent(g: DeviceGraph):
+    """float0 cotangents for the (integer) graph arrays — the graph is
+    data to the custom VJP but carries no gradient."""
+    import numpy as np
+
+    def z(t):
+        if jnp.issubdtype(t.dtype, jnp.floating):
+            return jnp.zeros_like(t)
+        return np.zeros(t.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree.map(z, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def spmm(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """Differentiable SpMM. ``g`` must be structurally symmetric for the
     custom adjoint (all reference GNN graphs are); use the raw strategy
@@ -85,18 +98,18 @@ def spmm(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray, impl: str = "auto") -> 
 
 
 def _spmm_fwd(g, w, x, impl):
-    return spmm(g, w, x, impl), (w, x)
+    return spmm(g, w, x, impl), (g, w, x)
 
 
-def _spmm_bwd(g, impl, res, ct):
-    w, x = res
+def _spmm_bwd(impl, res, ct):
+    g, w, x = res
     assert g.has_transpose, "DeviceGraph built without transpose permutation"
     # adjoint aggregation: same topology, transpose-permuted weights
     w_t = w[g.trans_perm]
     dx = _IMPLS[_pick_impl(g, impl)](g, w_t, ct)
     # weight gradient: per-edge dot(ct[src], x[dst]) — SDDMM
     dw = jnp.einsum("ef,ef->e", ct[g.edge_src], x[g.col_idx])
-    return (dw, dx)
+    return (_zero_cotangent(g), dw, dx)
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)
