@@ -1,0 +1,115 @@
+"""Graph analytics benchmark suite.
+
+Each solver pairs with a serial oracle in verifiers.py (the reference's
+verifier pattern); run_benchmark prints Correct/Wrong like the reference
+binaries' main.cc."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from graphaibench_tpu.analytics import verifiers  # noqa: F401
+from graphaibench_tpu.analytics.ann import knn_search  # noqa: F401
+from graphaibench_tpu.analytics.bc import bc_single_source, betweenness_centrality  # noqa: F401
+from graphaibench_tpu.analytics.cc import connected_components  # noqa: F401
+from graphaibench_tpu.analytics.cf import cf_train  # noqa: F401
+from graphaibench_tpu.analytics.coloring import color  # noqa: F401
+from graphaibench_tpu.analytics.kcore import k_core  # noqa: F401
+from graphaibench_tpu.analytics.khop import khop_sample, random_walk  # noqa: F401
+from graphaibench_tpu.analytics.pr import pagerank  # noqa: F401
+from graphaibench_tpu.analytics.tc import triangle_count  # noqa: F401
+from graphaibench_tpu.analytics.traversal import bfs, sssp_bellman_ford  # noqa: F401
+
+
+def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
+    """CLI driver: load, solve, verify, print Correct/Wrong + runtime."""
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.io import load_graph
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+
+    g = load_graph(dataset_path, with_elabels=(kernel == "cf"))
+    print(f"|V| {g.nv} |E| {g.ne}")
+    t0 = time.perf_counter()
+    ok = None
+
+    if kernel == "tc":
+        n = triangle_count(g)
+        dt = time.perf_counter() - t0
+        print(f"total_num_triangles = {n}")
+        if g.ne <= 200_000:
+            from graphaibench_tpu.graph.transforms import orientation
+            ok = n == verifiers.triangle_count_serial(orientation(g))
+    elif kernel == "bfs":
+        source = int(args[0]) if args else 0
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dist = np.asarray(bfs(dg, source))
+        dt = time.perf_counter() - t0
+        print(f"reached = {(dist >= 0).sum()}, max_depth = {dist.max()}")
+        ok = np.array_equal(dist, verifiers.bfs_serial(g, source))
+    elif kernel == "sssp":
+        source = int(args[0]) if args else 0
+        w = (np.asarray(g.elabels, dtype=np.float32)
+             if g.elabels is not None else np.ones(g.ne, np.float32))
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dist = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), source))
+        dt = time.perf_counter() - t0
+        ref = verifiers.dijkstra_serial(g, w, source)
+        ok = np.allclose(dist, ref, rtol=1e-5, equal_nan=True)
+    elif kernel == "pr":
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        scores, iters = pagerank(dg)
+        scores = np.asarray(scores)
+        dt = time.perf_counter() - t0
+        print(f"iterations = {int(iters)}")
+        ref = verifiers.pagerank_serial(g, g)
+        ok = np.allclose(scores, ref, atol=1e-4)
+    elif kernel == "cc":
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        comp = np.asarray(connected_components(dg))
+        dt = time.perf_counter() - t0
+        print(f"num_components = {len(np.unique(comp))}")
+        ref = verifiers.cc_serial(g)
+        ok = np.array_equal(comp, ref)
+    elif kernel == "bc":
+        source = int(args[0]) if args else 0
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        scores = np.asarray(bc_single_source(dg, source))
+        dt = time.perf_counter() - t0
+        ok = np.allclose(scores, verifiers.bc_serial(g, [source]), rtol=1e-4)
+    elif kernel == "kcore":
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        core = np.asarray(k_core(dg))
+        dt = time.perf_counter() - t0
+        print(f"max_coreness = {core.max()}")
+        ok = np.array_equal(core, verifiers.kcore_serial(g))
+    elif kernel == "color":
+        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        colors = np.asarray(color(dg))
+        dt = time.perf_counter() - t0
+        print(f"num_colors = {len(np.unique(colors))}")
+        ok = verifiers.coloring_valid(g, colors)
+    elif kernel == "cf":
+        ratings = (np.asarray(g.elabels, dtype=np.float32)
+                   if g.elabels is not None else np.ones(g.ne, np.float32))
+        lat, hist = cf_train(g, ratings)
+        dt = time.perf_counter() - t0
+        print("RMSE history:", " ".join(f"{h:.4f}" for h in hist))
+        ok = hist[-1] <= hist[0]
+    elif kernel == "sample":
+        seeds = np.arange(min(64, g.nv))
+        hops = khop_sample(g, seeds)
+        dt = time.perf_counter() - t0
+        print("sampled edges per hop:", [len(s) for s, _ in hops])
+        ok = True
+    else:
+        print(f"unknown kernel {kernel!r}")
+        return 2
+
+    print(f"runtime = {dt:.4f} sec")
+    if ok is not None:
+        print("Correct" if ok else "Wrong")
+        return 0 if ok else 1
+    return 0

@@ -1,0 +1,71 @@
+"""Betweenness centrality: Brandes with dense level-synchronous phases.
+
+The reference's BCSolver (src/centrality/omp_base.cc:8-110) runs a
+parallel BFS recording depth + path counts, then a backward dependency
+accumulation over depth buckets with bitmap successors. The TPU version
+keeps the same two phases but each is a full edge-parallel scatter pass
+inside lax.while_loop — depths replace buckets, masks replace bitmaps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphaibench_tpu.ops.device_graph import DeviceGraph
+
+
+def bc_single_source(g: DeviceGraph, source: int) -> jnp.ndarray:
+    """Dependency contributions of one source (Brandes)."""
+    nv = g.nv
+    src, dst = g.edge_src, g.col_idx
+
+    # ---- forward: depths + shortest-path counts -------------------------
+    def f_cond(state):
+        _d, _sig, frontier, _lvl = state
+        return jnp.any(frontier)
+
+    def f_body(state):
+        dist, sigma, frontier, lvl = state
+        contrib = jnp.where(frontier[src], sigma[src], 0.0)
+        reach = jax.ops.segment_sum(contrib, dst, num_segments=nv)
+        new = (reach > 0) & (dist < 0)
+        sigma = jnp.where(new, reach, sigma)
+        dist = jnp.where(new, lvl + 1, dist)
+        return dist, sigma, new, lvl + 1
+
+    dist0 = jnp.full(nv, -1, jnp.int32).at[source].set(0)
+    sigma0 = jnp.zeros(nv).at[source].set(1.0)
+    front0 = jnp.zeros(nv, bool).at[source].set(True)
+    dist, sigma, _, max_lvl = jax.lax.while_loop(
+        f_cond, f_body, (dist0, sigma0, front0, jnp.int32(0))
+    )
+
+    # ---- backward: delta accumulation level by level --------------------
+    def b_cond(state):
+        _delta, lvl = state
+        return lvl > 0
+
+    def b_body(state):
+        delta, lvl = state
+        # edges u -> v with dist[v] == dist[u] + 1 and dist[u] == lvl - 1
+        on_level = (dist[src] == lvl - 1) & (dist[dst] == lvl)
+        w = jnp.where(
+            on_level & (sigma[dst] > 0),
+            sigma[src] / jnp.where(sigma[dst] > 0, sigma[dst], 1.0)
+            * (1.0 + delta[dst]),
+            0.0,
+        )
+        add = jax.ops.segment_sum(w, src, num_segments=nv)
+        return delta + add, lvl - 1
+
+    delta, _ = jax.lax.while_loop(b_cond, b_body, (jnp.zeros(nv), max_lvl))
+    return delta.at[source].set(0.0)
+
+
+def betweenness_centrality(g: DeviceGraph, sources) -> jnp.ndarray:
+    """Accumulated BC over the given source set."""
+    bc = jnp.zeros(g.nv)
+    for s in sources:
+        bc = bc + bc_single_source(g, int(s))
+    return bc

@@ -1,0 +1,157 @@
+"""Analytics solvers vs serial oracles + reference goldens
+(citeseer triangle count = 1166, src/triangle/README.md:50)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import fixture_path
+
+from graphaibench_tpu.analytics import (
+    bc_single_source,
+    bfs,
+    cf_train,
+    color,
+    connected_components,
+    k_core,
+    khop_sample,
+    knn_search,
+    pagerank,
+    random_walk,
+    sssp_bellman_ford,
+    triangle_count,
+    verifiers,
+)
+from graphaibench_tpu.graph import load_graph, transforms as T
+from graphaibench_tpu.graph.generators import rmat, uniform_random
+from graphaibench_tpu.ops.device_graph import to_device_graph
+
+
+@pytest.fixture(scope="module")
+def small():
+    return uniform_random(150, 500, seed=9)
+
+
+@pytest.fixture(scope="module")
+def small_dev(small):
+    return to_device_graph(small, with_transpose=False, with_ell=False)
+
+
+def test_tc_citeseer_golden(citeseer):
+    assert triangle_count(citeseer) == 1166
+
+
+def test_tc_small_oracle(small):
+    dag = T.orientation(small)
+    assert triangle_count(small) == verifiers.triangle_count_serial(dag)
+
+
+def test_tc_skewed():
+    g = rmat(8, 8, seed=4)
+    dag = T.orientation(g)
+    assert triangle_count(g) == verifiers.triangle_count_serial(dag)
+
+
+def test_bfs(small, small_dev):
+    dist = np.asarray(bfs(small_dev, 0))
+    np.testing.assert_array_equal(dist, verifiers.bfs_serial(small, 0))
+
+
+def test_bfs_citeseer(citeseer):
+    dg = to_device_graph(citeseer, with_transpose=False, with_ell=False)
+    dist = np.asarray(bfs(dg, 3))
+    np.testing.assert_array_equal(dist, verifiers.bfs_serial(citeseer, 3))
+
+
+def test_sssp(small, small_dev, rng):
+    w = rng.uniform(0.1, 2.0, small.ne).astype(np.float32)
+    dist = np.asarray(sssp_bellman_ford(small_dev, jnp.asarray(w), 0))
+    ref = verifiers.dijkstra_serial(small, w, 0)
+    np.testing.assert_allclose(dist, ref, rtol=1e-5)
+
+
+def test_pagerank(small, small_dev):
+    scores, iters = pagerank(small_dev)
+    ref = verifiers.pagerank_serial(small, small)
+    np.testing.assert_allclose(np.asarray(scores), ref, atol=1e-4)
+    assert int(iters) <= 100
+
+
+def test_cc(small_dev, small):
+    comp = np.asarray(connected_components(small_dev))
+    np.testing.assert_array_equal(comp, verifiers.cc_serial(small))
+
+
+def test_cc_disconnected():
+    from graphaibench_tpu.graph.csr import from_edges
+    g = T.symmetrize(from_edges([0, 2, 4], [1, 3, 5], 7))
+    dg = to_device_graph(g, with_transpose=False, with_ell=False)
+    comp = np.asarray(connected_components(dg))
+    np.testing.assert_array_equal(comp, [0, 0, 2, 2, 4, 4, 6])
+
+
+def test_bc(small, small_dev):
+    scores = np.asarray(bc_single_source(small_dev, 0))
+    ref = verifiers.bc_serial(small, [0])
+    np.testing.assert_allclose(scores, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_kcore(small, small_dev):
+    core = np.asarray(k_core(small_dev))
+    np.testing.assert_array_equal(core, verifiers.kcore_serial(small))
+
+
+def test_coloring(small, small_dev):
+    colors = np.asarray(color(small_dev))
+    assert verifiers.coloring_valid(small, colors)
+    # a greedy coloring should not be wasteful
+    assert len(np.unique(colors)) <= small.max_degree() + 1
+
+
+def test_cf():
+    g = load_graph(fixture_path("test_cf"), with_elabels=True)
+    ratings = np.asarray(g.elabels, dtype=np.float32)
+    lat, hist = cf_train(g, ratings, step=0.01, max_iters=8, epsilon=0.0)
+    assert hist[-1] < hist[0]  # RMSE decreases (SGDVerifier criterion)
+    assert np.isfinite(lat).all()
+
+
+def test_khop(small):
+    seeds = np.arange(10)
+    hops = khop_sample(small, seeds, (5, 3), seed=1)
+    assert len(hops) == 2
+    s0, d0 = hops[0]
+    assert len(s0) == 10 * 5
+    src_all, dst_all = small.coo()
+    pairs = set(zip(src_all.tolist(), dst_all.tolist()))
+    deg = small.degrees()
+    for a, b in zip(s0.tolist(), d0.tolist()):
+        assert (a, b) in pairs or (deg[a] == 0 and a == b)
+
+
+def test_random_walk(small):
+    walks = random_walk(small, np.arange(6), 4, seed=2)
+    assert walks.shape == (6, 5)
+    src_all, dst_all = small.coo()
+    pairs = set(zip(src_all.tolist(), dst_all.tolist()))
+    deg = small.degrees()
+    for w in walks:
+        for a, b in zip(w[:-1], w[1:]):
+            assert (a, b) in pairs or (deg[a] == 0 and a == b)
+
+
+def test_knn(rng):
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    q = x[:5] + 0.001
+    idx, scores = knn_search(x, q, k=3)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(5))
+
+
+def test_run_benchmark_dispatcher(capsys):
+    from graphaibench_tpu.analytics import run_benchmark
+    rc = run_benchmark("tc", fixture_path("tester"), [])
+    out = capsys.readouterr().out
+    assert "Correct" in out and rc == 0
+    rc = run_benchmark("bfs", fixture_path("tester"), ["0"])
+    out = capsys.readouterr().out
+    assert "Correct" in out and rc == 0
