@@ -1,0 +1,116 @@
+"""Compression codecs: roundtrip + on-disk + CLI verify (the reference's
+verify_compression gate)."""
+
+import numpy as np
+import pytest
+
+from conftest import fixture_path
+
+from graphaibench_tpu.compress import cgr, hybrid, vbyte
+from graphaibench_tpu.compress.cli import compress_cmd, decompress_cmd, verify_cmd
+from graphaibench_tpu.compress.unary import (
+    BitReader, BitWriter, int_2_nat, nat_2_int, read_gamma, read_zeta,
+    write_gamma, write_zeta, gamma_len, zeta_len,
+)
+from graphaibench_tpu.graph.generators import rmat, uniform_random
+from graphaibench_tpu.graph.io import load_graph
+
+
+def test_gamma_zeta_roundtrip():
+    w = BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 100, 1023, 1024, 123456, 2**30]
+    for v in vals:
+        write_gamma(w, v)
+    for v in vals:
+        write_zeta(w, v, 2)
+    for v in vals:
+        write_zeta(w, v, 3)
+    r = BitReader(w.getvalue())
+    for v in vals:
+        assert read_gamma(r) == v
+    for v in vals:
+        assert read_zeta(r, 2) == v
+    for v in vals:
+        assert read_zeta(r, 3) == v
+
+
+def test_gamma_zeta_lengths():
+    # gamma(x) is 2*floor(log2(x+1))+1 bits; zeta per unary_encoder.cc:44-51
+    w = BitWriter(); write_gamma(w, 0)
+    assert w.bit_length == 1 == gamma_len(0)
+    w = BitWriter(); write_gamma(w, 5)
+    assert w.bit_length == 5 == gamma_len(5)
+    for x in (0, 1, 7, 63, 1000):
+        for k in (1, 2, 3):
+            w = BitWriter(); write_zeta(w, x, k)
+            assert w.bit_length == zeta_len(x, k)
+
+
+def test_int_2_nat():
+    for x in (-5, -1, 0, 1, 7):
+        assert nat_2_int(int_2_nat(x)) == x
+
+
+@pytest.mark.parametrize("cfg", [
+    cgr.CgrConfig(),
+    cgr.CgrConfig(zeta_k=1),
+    cgr.CgrConfig(zeta_k=3, res_seg_len=128),
+    cgr.CgrConfig(res_seg_len=0),
+    cgr.CgrConfig(use_interval=True),
+    cgr.CgrConfig(use_interval=True, res_seg_len=0, add_degree=True),
+    cgr.CgrConfig(alignment="byte"),
+    cgr.CgrConfig(alignment="word", use_interval=True),
+])
+def test_cgr_roundtrip(cfg):
+    g = uniform_random(150, 600, seed=2)
+    cg = cgr.encode_graph(g, cfg)
+    g2 = cgr.decode_graph(cg)
+    np.testing.assert_array_equal(g2.row_ptr, g.row_ptr)
+    np.testing.assert_array_equal(g2.col_idx, g.col_idx)
+
+
+def test_cgr_grid_intervals_compress_well():
+    """Grids are runs of consecutive ids — intervals must win."""
+    from graphaibench_tpu.graph.generators import grid2d
+    g = grid2d(20)
+    plain = cgr.encode_graph(g, cgr.CgrConfig())
+    itv = cgr.encode_graph(g, cgr.CgrConfig(use_interval=True, min_itv_len=2))
+    assert itv.compression_ratio() >= plain.compression_ratio() * 0.9
+
+
+@pytest.mark.parametrize("scheme", ["streamvbyte", "varintgb"])
+def test_vbyte_roundtrip(scheme):
+    g = rmat(8, 6, seed=3)
+    vg = vbyte.encode_graph(g, scheme)
+    g2 = vbyte.decode_graph(vg)
+    np.testing.assert_array_equal(g2.col_idx, g.col_idx)
+    np.testing.assert_array_equal(g2.row_ptr, g.row_ptr)
+    # word alignment
+    assert len(vg.data) % 4 == 0
+
+
+def test_hybrid_roundtrip():
+    g = rmat(8, 8, seed=5)  # power-law: mixes both schemes
+    hg = hybrid.encode_graph(g, threshold=8)
+    deg = g.degrees()
+    assert (deg >= 8).any() and (deg < 8).any()
+    g2 = hybrid.decode_graph(hg)
+    np.testing.assert_array_equal(g2.col_idx, g.col_idx)
+
+
+def test_citeseer_compression_ratio(citeseer, tmp_path):
+    cg = cgr.encode_graph(citeseer, cgr.CgrConfig(zeta_k=2))
+    assert cg.compression_ratio() > 2.0  # beats raw 4-byte ids
+    g2 = cgr.decode_graph(cg)
+    np.testing.assert_array_equal(g2.col_idx, citeseer.col_idx)
+
+
+@pytest.mark.parametrize("scheme", ["cgr", "streamvbyte", "varintgb", "hybrid"])
+def test_cli_roundtrip(tmp_path, scheme):
+    prefix = str(tmp_path / f"{scheme}/g")
+    compress_cmd(fixture_path("tester"), prefix, scheme)
+    assert verify_cmd(fixture_path("tester"), prefix)
+    out = str(tmp_path / f"{scheme}_out")
+    g = decompress_cmd(prefix, out)
+    ref = load_graph(fixture_path("tester"))
+    np.testing.assert_array_equal(g.col_idx, ref.col_idx)
