@@ -123,7 +123,9 @@ def _encode_segmented(w: BitWriter, items, seg_len):
             is_first = ii == 0 if forced is None else forced
             it[2](sub, is_first)
         if seg_len and si + 1 != len(segs):
-            assert sub.bit_length <= seg_len, (sub.bit_length, seg_len)
+            # pad to a MULTIPLE of seg_len: a single oversized code (the
+            # case where the reference encoder asserts, cgr_encoder.cc
+            # append_segment) occupies k consecutive segment slots
             sub.align(seg_len)
         _append_bits(w, sub)
 
@@ -200,6 +202,11 @@ class CompressedGraph:
 
 
 def encode_graph(g: CSRGraph, cfg: CgrConfig = CgrConfig()) -> CompressedGraph:
+    from graphaibench_tpu import native
+    if native.available():
+        offsets, data = native.cgr_encode(g.row_ptr, g.col_idx, cfg)
+        return CompressedGraph(nv=g.nv, ne=g.ne, offsets=offsets, data=data,
+                               cfg=cfg)
     unit = cfg.unit_bits
     out = BitWriter()
     offsets = np.zeros(g.nv + 1, dtype=np.int64)
@@ -230,13 +237,11 @@ def decode_vertex(cg: CompressedGraph, v: int, degree: int | None = None,
     intervals = []
     if cfg.use_interval:
         nseg = read_gamma(r) + 1
-        seg_start = r.pos
+        base = r.pos
         for si in range(nseg):
             if si:
-                seg_start += cfg.itv_seg_len
-                r.pos = seg_start
-            else:
-                seg_start = r.pos
+                used = r.pos - base
+                r.pos = base + -(-used // cfg.itv_seg_len) * cfg.itv_seg_len
             cnt = read_gamma(r)
             prev_left = prev_len = None
             for i in range(cnt):
@@ -258,13 +263,11 @@ def decode_vertex(cg: CompressedGraph, v: int, degree: int | None = None,
                 residuals.append(residuals[-1] + 1 + read_zeta(r, cfg.zeta_k))
     else:
         nseg = read_gamma(r) + 1
-        seg_start = r.pos
+        base = r.pos
         for si in range(nseg):
             if si:
-                seg_start += cfg.res_seg_len
-                r.pos = seg_start
-            else:
-                seg_start = r.pos
+                used = r.pos - base
+                r.pos = base + -(-used // cfg.res_seg_len) * cfg.res_seg_len
             cnt = read_gamma(r)
             for i in range(cnt):
                 if i == 0:
@@ -279,6 +282,15 @@ def decode_vertex(cg: CompressedGraph, v: int, degree: int | None = None,
 
 
 def decode_graph(cg: CompressedGraph, degrees: np.ndarray | None = None) -> CSRGraph:
+    from graphaibench_tpu import native
+    # fast native path needs per-vertex output sizes up front
+    if native.available() and degrees is not None:
+        deg = np.asarray(degrees, dtype=np.int64)
+        row_ptr = np.zeros(cg.nv + 1, dtype=np.int64)
+        np.cumsum(deg, out=row_ptr[1:])
+        col = native.cgr_decode(cg.nv, cg.data, cg.offsets, row_ptr,
+                                deg, cg.cfg)
+        return CSRGraph(row_ptr=row_ptr, col_idx=col)
     src, dst = [], []
     for v in range(cg.nv):
         deg = None if degrees is None else int(degrees[v])

@@ -125,6 +125,12 @@ def from_edges(
     """Build a CSRGraph from a COO edge list (no dedup)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
+    if elabels is None and len(src) >= 1 << 18:
+        from graphaibench_tpu import native
+        if native.available():
+            rp, ci = native.build_csr(src, dst, num_vertices,
+                                      sort_neighbors=sort_neighbors)
+            return CSRGraph(row_ptr=rp, col_idx=ci)
     if sort_neighbors:
         order = np.lexsort((dst, src))
     else:

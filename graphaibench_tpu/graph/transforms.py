@@ -56,6 +56,11 @@ def orientation(g: CSRGraph) -> CSRGraph:
     """Degree-ordered DAG orientation: keep edge (u, v) iff
     deg(v) > deg(u) or (deg(v) == deg(u) and v > u) — graph.cc:628-631.
     Halves the edges of an undirected graph."""
+    if g.ne >= 1 << 18:
+        from graphaibench_tpu import native
+        if native.available():
+            rp, ci = native.orientation(g.row_ptr, g.col_idx)
+            return CSRGraph(row_ptr=rp, col_idx=ci)
     deg = g.degrees()
     src, dst = g.coo()
     keep = (deg[dst] > deg[src]) | ((deg[dst] == deg[src]) & (dst > src))

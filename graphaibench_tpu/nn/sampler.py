@@ -46,6 +46,15 @@ class SaintSampler:
         n-m frontier expansions; the returned set may be smaller due to
         revisits)."""
         g = self.masked
+        from graphaibench_tpu import native
+        if native.available():
+            vs = native.saint_sample(
+                g.row_ptr, g.col_idx,
+                self.train_nodes.astype(np.int64), n, min(self.m, n),
+                SAMPLE_CLIP, seed,
+            )
+            if vs is not None:
+                return vs
         rng = np.random.default_rng(seed)
         m = min(self.m, n)
         deg = g.degrees()

@@ -1,0 +1,74 @@
+"""Native C++ kernels: bit-exact parity with the Python implementations."""
+
+import numpy as np
+import pytest
+
+from graphaibench_tpu import native
+from graphaibench_tpu.compress import cgr
+from graphaibench_tpu.graph import transforms as T
+from graphaibench_tpu.graph.generators import grid2d, rmat
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no g++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def g():
+    return rmat(10, 8, seed=7)
+
+
+def test_build_csr_parity(g):
+    src, dst = g.coo()
+    rp, ci = native.build_csr(src, dst, g.nv)
+    np.testing.assert_array_equal(rp, g.row_ptr)
+    np.testing.assert_array_equal(ci, g.col_idx)
+
+
+def test_orientation_parity(g):
+    rp, ci = native.orientation(g.row_ptr, g.col_idx)
+    dag = T.orientation(g)
+    np.testing.assert_array_equal(rp, dag.row_ptr)
+    np.testing.assert_array_equal(ci, dag.col_idx)
+
+
+@pytest.mark.parametrize("cfg", [
+    cgr.CgrConfig(),
+    cgr.CgrConfig(use_interval=True),
+    cgr.CgrConfig(res_seg_len=0),
+    cgr.CgrConfig(zeta_k=1),
+    cgr.CgrConfig(alignment="word", add_degree=True),
+])
+def test_cgr_native_bit_exact(g, cfg):
+    off_n, data_n = native.cgr_encode(g.row_ptr, g.col_idx, cfg)
+    # python reference encoding of the same graph
+    import graphaibench_tpu.native as nat
+    lib = nat._LIB
+    try:
+        nat._LIB = None
+        nat._TRIED = True  # force python path
+        pg = cgr.encode_graph(g, cfg)
+    finally:
+        nat._LIB = lib
+    assert np.array_equal(off_n, pg.offsets)
+    assert data_n == pg.data
+    # native decode
+    deg = g.degrees().astype(np.int64)
+    col = native.cgr_decode(g.nv, data_n, off_n, g.row_ptr, deg, cfg)
+    np.testing.assert_array_equal(col, g.col_idx)
+
+
+def test_cgr_native_intervals_grid():
+    gg = grid2d(25)
+    cfg = cgr.CgrConfig(use_interval=True, min_itv_len=2)
+    off, data = native.cgr_encode(gg.row_ptr, gg.col_idx, cfg)
+    col = native.cgr_decode(gg.nv, data, off, gg.row_ptr,
+                            gg.degrees().astype(np.int64), cfg)
+    np.testing.assert_array_equal(col, gg.col_idx)
+
+
+def test_saint_native(g):
+    tn = np.arange(g.nv // 2, dtype=np.int64)
+    vs = native.saint_sample(g.row_ptr, g.col_idx, tn, 300, 100, 3000, 11)
+    assert len(np.unique(vs)) == len(vs)
+    assert np.all(np.diff(vs) > 0)
+    vs2 = native.saint_sample(g.row_ptr, g.col_idx, tn, 300, 100, 3000, 11)
+    np.testing.assert_array_equal(vs, vs2)  # deterministic
