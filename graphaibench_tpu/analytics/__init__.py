@@ -12,11 +12,16 @@ import numpy as np
 
 from graphaibench_tpu.analytics import verifiers  # noqa: F401
 from graphaibench_tpu.analytics.ann import knn_search  # noqa: F401
+from graphaibench_tpu.analytics.assignment import hungarian  # noqa: F401
 from graphaibench_tpu.analytics.bc import bc_single_source, betweenness_centrality  # noqa: F401
 from graphaibench_tpu.analytics.cc import connected_components  # noqa: F401
 from graphaibench_tpu.analytics.cf import cf_train  # noqa: F401
 from graphaibench_tpu.analytics.coloring import color  # noqa: F401
+from graphaibench_tpu.analytics.community import louvain, modularity  # noqa: F401
+from graphaibench_tpu.analytics.hac import cut_clusters, hac, hac_from_embeddings  # noqa: F401
 from graphaibench_tpu.analytics.kcore import k_core  # noqa: F401
+from graphaibench_tpu.analytics.linkpred import adamic_adar, jaccard, predict_links  # noqa: F401
+from graphaibench_tpu.analytics.mst import boruvka_mst  # noqa: F401
 from graphaibench_tpu.analytics.khop import khop_sample, random_walk  # noqa: F401
 from graphaibench_tpu.analytics.pr import pagerank  # noqa: F401
 from graphaibench_tpu.analytics.tc import triangle_count  # noqa: F401
