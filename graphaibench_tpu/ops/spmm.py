@@ -43,9 +43,27 @@ def spmm_coo(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jax.ops.segment_sum(msgs, g.edge_src, num_segments=g.nv)
 
 
+# the TPU gather engine is row-rate-bound for rows up to ~512 bytes and
+# falls off badly beyond; keep each gathered slice within this budget
+_GATHER_ROW_BYTES = 512
+
+
 def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Degree-bucketed ELL path. Requires g.ell buckets."""
+    """Degree-bucketed ELL path. Requires g.ell buckets. Wide feature
+    matrices are processed in <=512-byte column slices (the measured
+    sweet spot of the TPU gather unit)."""
     assert g.ell, "DeviceGraph built without ELL buckets"
+    f = x.shape[1]
+    chunk = max(_GATHER_ROW_BYTES // x.dtype.itemsize, 1)
+    if f <= chunk:
+        return _spmm_ell_cols(g, w, x)
+    parts = [
+        _spmm_ell_cols(g, w, x[:, c : c + chunk]) for c in range(0, f, chunk)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel slot
     for b in g.ell:
