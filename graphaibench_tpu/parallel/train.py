@@ -6,9 +6,9 @@ layers (parallel.halo), replicated weights, gradient psum over the mesh
 axis — pjit/shard_map replacing the reference's per-GPU host threads +
 MPI_Allreduce + NVSHMEM (SURVEY.md §2.4).
 
-Supports GCN and SAGE (static aggregation weights). Distributed GAT
-needs per-edge runtime scores with a validity mask in the segment
-softmax — wired through ``edge_valid`` (TODO in round 2).
+Supports GCN, SAGE (static aggregation weights), and GAT (runtime
+attention scores with a local segment softmax; edge validity masks the
+padding).
 """
 
 from __future__ import annotations
@@ -29,21 +29,51 @@ from graphaibench_tpu.parallel.halo import AXIS, halo_exchange, sharded_spmm_loc
 from graphaibench_tpu.parallel.partition import ShardedGraph, pad_rows
 
 
+def _local_segment_softmax(edge_src, logits, valid, nv_pad):
+    """Per-local-row softmax over this shard's edges. Edges of a row
+    never cross shards (1-D vertex partition), so no collective is
+    needed; padded edges are masked to -inf / zero."""
+    neg = jnp.finfo(logits.dtype).min
+    lg = jnp.where(valid, logits, neg)
+    row_max = jax.ops.segment_max(lg, edge_src, num_segments=nv_pad)
+    e = jnp.where(valid, jnp.exp(lg - row_max[edge_src]), 0.0)
+    denom = jax.ops.segment_sum(e, edge_src, num_segments=nv_pad)
+    return e / jnp.maximum(denom[edge_src], 1e-30)
+
+
 def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS):
     """Per-shard forward of the gconv stack. ``ga`` holds this shard's
     graph arrays (leading axis already stripped)."""
     nv_pad = x_own.shape[0]
 
-    def aggregate(h):
+    def exchange(h):
         halo = halo_exchange(h, ga["send_idx"], ga["halo_map"], axis=axis)
-        h_ext = jnp.concatenate([h, halo], axis=0)
-        return sharded_spmm_local(ga["edge_src"], ga["col_idx"], ga["edge_w"],
+        return jnp.concatenate([h, halo], axis=0)
+
+    def aggregate_w(h_ext, w):
+        return sharded_spmm_local(ga["edge_src"], ga["col_idx"], w,
                                   h_ext, nv_pad)
+
+    def aggregate(h):
+        return aggregate_w(exchange(h), ga["edge_w"])
 
     h = x_own
     for l, (din, dout, act) in enumerate(cfg.gconv_dims):
         p = params["gconv"][l]
-        if din > dout:
+        if cfg.arch == "gat":
+            # project, exchange projected rows, rank-1 logits, local
+            # segment softmax, score-weighted aggregation
+            t = jnp.dot(h, p["W_neigh"], precision=jax.lax.Precision.HIGHEST)
+            t_ext = exchange(t)
+            sl = t @ p["alpha_l"]                  # (nv_pad,)
+            sr = t_ext @ p["alpha_r"]              # (nv_pad + h_max,)
+            logits = sl[ga["edge_src"]] + sr[ga["col_idx"]]
+            logits = jnp.where(logits > 0, logits, 0.2 * logits)
+            scores = _local_segment_softmax(
+                ga["edge_src"], logits, ga["edge_valid"], nv_pad
+            )
+            out = aggregate_w(t_ext, scores)
+        elif din > dout:
             t = jnp.dot(h, p["W_neigh"], precision=jax.lax.Precision.HIGHEST)
             out = aggregate(t)
         else:
@@ -83,7 +113,6 @@ def make_sharded_trainer(
     optimizer: str = "adam",
     axis: str = AXIS,
 ) -> ShardedTrainer:
-    assert cfg.arch in ("gcn", "sage"), "distributed GAT lands in round 2"
     begin, end, _count = train_range
     nv, nv_total = sg.nv, sg.padded_nv
 
@@ -103,6 +132,7 @@ def make_sharded_trainer(
         "edge_src": jax.device_put(jnp.asarray(sg.edge_src), shard_e),
         "col_idx": jax.device_put(jnp.asarray(sg.col_idx), shard_e),
         "edge_w": jax.device_put(jnp.asarray(sg.edge_w), shard_e),
+        "edge_valid": jax.device_put(jnp.asarray(sg.edge_valid), shard_e),
         "send_idx": jax.device_put(jnp.asarray(sg.send_idx),
                                    NamedSharding(mesh, P(axis, None, None))),
         "halo_map": jax.device_put(jnp.asarray(sg.halo_map), shard_e),
@@ -114,6 +144,7 @@ def make_sharded_trainer(
             "edge_src": ga["edge_src"][0],
             "col_idx": ga["col_idx"][0],
             "edge_w": ga["edge_w"][0],
+            "edge_valid": ga["edge_valid"][0],
             "send_idx": ga["send_idx"][0],
             "halo_map": ga["halo_map"][0],
         }
@@ -129,8 +160,8 @@ def make_sharded_trainer(
         return total / max(end - begin, 1)
 
     def local_step(params, opt_state, x_own, lab_own, valid_own, *ga_flat):
-        ga = dict(zip(("edge_src", "col_idx", "edge_w", "send_idx", "halo_map"),
-                      ga_flat))
+        ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
+                       "send_idx", "halo_map"), ga_flat))
         loss, grads = jax.value_and_grad(local_loss)(
             params, x_own, lab_own, valid_own, ga
         )
@@ -138,7 +169,7 @@ def make_sharded_trainer(
         new_params, new_opt = opt.update(grads, opt_state, params)
         return new_params, new_opt, loss * (end - begin) / count
 
-    ga_specs = (P(axis, None), P(axis, None), P(axis, None),
+    ga_specs = (P(axis, None), P(axis, None), P(axis, None), P(axis, None),
                 P(axis, None, None), P(axis, None))
     params_spec = jax.tree.map(lambda _: P(), {"gconv": [
         {} for _ in range(cfg.num_layers)], **({"dense": {}} if cfg.use_dense else {})})
@@ -155,12 +186,12 @@ def make_sharded_trainer(
     def train_step(params, opt_state):
         return step_sm(params, opt_state, x_d, lab_d, valid_d,
                        graph_arrays["edge_src"], graph_arrays["col_idx"],
-                       graph_arrays["edge_w"], graph_arrays["send_idx"],
-                       graph_arrays["halo_map"])
+                       graph_arrays["edge_w"], graph_arrays["edge_valid"],
+                       graph_arrays["send_idx"], graph_arrays["halo_map"])
 
     def local_logits(params, x_own, *ga_flat):
-        ga = dict(zip(("edge_src", "col_idx", "edge_w", "send_idx", "halo_map"),
-                      ga_flat))
+        ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
+                       "send_idx", "halo_map"), ga_flat))
         return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis)
 
     logits_sm = jax.shard_map(
@@ -175,8 +206,8 @@ def make_sharded_trainer(
     def eval_logits(params):
         out = logits_sm(params, x_d,
                         graph_arrays["edge_src"], graph_arrays["col_idx"],
-                        graph_arrays["edge_w"], graph_arrays["send_idx"],
-                        graph_arrays["halo_map"])
+                        graph_arrays["edge_w"], graph_arrays["edge_valid"],
+                        graph_arrays["send_idx"], graph_arrays["halo_map"])
         return out[:nv]
 
     return ShardedTrainer(mesh=mesh, train_step=train_step,

@@ -78,7 +78,7 @@ def test_sharded_spmm_matches_single(mesh):
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("arch", ["gcn", "sage"])
+@pytest.mark.parametrize("arch", ["gcn", "sage", "gat"])
 def test_sharded_training_matches_single_device(mesh, arch):
     """Loss trajectory of the 8-shard halo-exchange trainer must track the
     single-device Model (same init, same data)."""
@@ -94,8 +94,9 @@ def test_sharded_training_matches_single_device(mesh, arch):
     ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
                     val_mask=mask, test_mask=mask, num_classes=5,
                     train_range=tr, val_range=tr, test_range=tr)
+    kw = dict(use_l2norm=True, use_dense=True) if arch == "gat" else {}
     cfg = ModelConfig(arch=arch, num_layers=2, dim_init=12, dim_hid=8,
-                      num_cls=5, lr=0.02)
+                      num_cls=5, lr=0.02, **kw)
 
     single = Model(cfg, ds)
 
