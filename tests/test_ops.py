@@ -163,3 +163,16 @@ def test_isolated_vertices_spmm():
     out = np.asarray(spmm(dg, jnp.ones(2, dtype=jnp.float32), x))
     np.testing.assert_array_equal(out[2:], 0.0)
     np.testing.assert_array_equal(out[:2], 1.0)
+
+
+def test_pallas_spmm_interpret(small_graph, rng):
+    """Pallas VMEM SpMM vs the gather path (interpret mode on CPU)."""
+    from graphaibench_tpu.ops.pallas_spmm import spmm_ell_pallas, supports
+    g = small_graph
+    dg = to_device_graph(g)
+    assert supports(dg, 16)
+    x = jnp.asarray(rng.standard_normal((g.nv, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+    out_p = np.asarray(spmm_ell_pallas(dg, w, x, interpret=True))
+    out_r = np.asarray(spmm_coo(dg, w, x))
+    np.testing.assert_allclose(out_p, out_r, rtol=1e-4, atol=1e-4)
