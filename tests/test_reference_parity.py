@@ -84,3 +84,22 @@ def test_oracle_matches_our_trajectory(synth_cora):
         ours, _ = model.train_epoch()
         exact, _ = oracle.step(np.asarray(ds.feats))
         assert abs(ours - exact) < 2e-3, (i, ours, exact)
+
+
+@pytest.mark.parametrize("arch,acc_tol", [("sage", 5e-3), ("gat", 1e-2)])
+def test_reference_binary_parity_sage_gat(synth_cora, arch, acc_tol):
+    """SAGE/GAT vs the compiled reference binaries: epoch-0 exact,
+    final test accuracy within tolerance (f32-Adam trajectory noise)."""
+    with open(os.path.join(os.path.dirname(GOLDEN),
+                           "ref_sage_gat_cora_synth.json")) as f:
+        golden = json.load(f)[arch]
+    ds = synth_cora
+    kw = dict(use_l2norm=True, use_dense=True) if arch == "gat" else {}
+    cfg = ModelConfig(arch=arch, num_layers=2, dim_init=ds.feat_len,
+                      dim_hid=16, num_cls=ds.num_classes, lr=0.02, **kw)
+    model = Model(cfg, ds)
+    losses = [model.train_epoch()[0] for _ in range(10)]
+    assert abs(losses[0] - golden["train_loss"][0]) < 1e-3
+    for i in range(10):
+        assert abs(losses[i] - golden["train_loss"][i]) < 0.25, (i, losses[i])
+    assert abs(model.evaluate("test") - golden["test_acc"]) < acc_tol
