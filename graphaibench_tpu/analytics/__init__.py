@@ -103,6 +103,19 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         dt = time.perf_counter() - t0
         print("RMSE history:", " ".join(f"{h:.4f}" for h in hist))
         ok = hist[-1] <= hist[0]
+    elif kernel == "motif":
+        from graphaibench_tpu.analytics.motif import (induced_motif_counts,
+                                                      motif_counts)
+        k = int(args[0]) if args else 4
+        induced = len(args) > 1 and args[1] == "induced"
+        counts = induced_motif_counts(g) if induced else motif_counts(g, k)
+        dt = time.perf_counter() - t0
+        for name, c in sorted(counts.items()):
+            print(f"{name} = {c}")
+        if g.ne <= 200_000:
+            from graphaibench_tpu.graph.transforms import orientation
+            ok = counts.get("triangle") == verifiers.triangle_count_serial(
+                orientation(g))
     elif kernel == "sample":
         seeds = np.arange(min(64, g.nv))
         hops = khop_sample(g, seeds)
