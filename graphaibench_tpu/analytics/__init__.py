@@ -35,7 +35,25 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
     from graphaibench_tpu.graph.io import load_graph
     from graphaibench_tpu.ops.device_graph import to_device_graph
 
-    g = load_graph(dataset_path, with_elabels=(kernel == "cf"))
+    import os
+
+    if os.path.exists(dataset_path + ".meta.json"):
+        # compressed-graph prefix (the reference's tc_omp_compressed /
+        # bfs compressed binaries take these): StreamVByte decodes on
+        # device, other schemes on host/native
+        from graphaibench_tpu.compress.cli import load_compressed
+        from graphaibench_tpu.compress.device_decode import decode_graph_device
+
+        cg = load_compressed(dataset_path)
+        if getattr(cg, "scheme", None) == "streamvbyte":
+            g = decode_graph_device(cg)
+            print("decoded streamvbyte on device")
+        else:
+            from graphaibench_tpu.compress.cli import decode_any
+            g = decode_any(cg)
+            print("decoded on host")
+    else:
+        g = load_graph(dataset_path, with_elabels=(kernel == "cf"))
     print(f"|V| {g.nv} |E| {g.ne}")
     t0 = time.perf_counter()
     ok = None

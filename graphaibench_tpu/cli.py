@@ -21,6 +21,8 @@ import sys
 def resolve_dataset(name: str) -> str:
     if os.path.isdir(name):
         return name
+    if os.path.exists(name + ".meta.json"):  # compressed-graph prefix
+        return name
     root = os.environ.get("DATASET_PATH")
     if root and os.path.isdir(os.path.join(root, name)):
         return os.path.join(root, name)

@@ -91,18 +91,18 @@ def compress_cmd(in_dir: str, prefix: str, scheme: str = "cgr", *,
     return obj
 
 
+def decode_any(obj):
+    """Host decode of any compressed-graph container to a CSRGraph."""
+    if isinstance(obj, cgr.CompressedGraph):
+        return cgr.decode_graph(obj)
+    if isinstance(obj, hybrid.HybridGraph):
+        return hybrid.decode_graph(obj)
+    return vbyte.decode_graph(obj)
+
+
 def decompress_cmd(prefix: str, out_dir: str):
     obj = load_compressed(prefix)
-    mod = {"cgr": cgr, "hybrid": hybrid}.get(
-        getattr(obj, "scheme", None) or ("cgr" if isinstance(obj, cgr.CompressedGraph) else "hybrid"),
-        vbyte,
-    )
-    if isinstance(obj, cgr.CompressedGraph):
-        g = cgr.decode_graph(obj)
-    elif isinstance(obj, hybrid.HybridGraph):
-        g = hybrid.decode_graph(obj)
-    else:
-        g = vbyte.decode_graph(obj)
+    g = decode_any(obj)
     save_graph(g, out_dir)
     print(f"decompressed |V| {g.nv} |E| {g.ne} -> {out_dir}")
     return g

@@ -114,3 +114,46 @@ def test_cli_roundtrip(tmp_path, scheme):
     g = decompress_cmd(prefix, out)
     ref = load_graph(fixture_path("tester"))
     np.testing.assert_array_equal(g.col_idx, ref.col_idx)
+
+
+def test_streamvbyte_device_decode(citeseer):
+    """TPU-side decode (compress/device_decode.py) must reproduce the
+    host codec bit-for-bit, including the citeseer triangle golden."""
+    from graphaibench_tpu.analytics.tc import triangle_count
+    from graphaibench_tpu.compress.device_decode import decode_graph_device
+    from graphaibench_tpu.compress.vbyte import encode_graph
+
+    vg = encode_graph(citeseer, "streamvbyte")
+    g2 = decode_graph_device(vg)
+    assert np.array_equal(g2.row_ptr, citeseer.row_ptr)
+    assert np.array_equal(g2.col_idx, citeseer.col_idx)
+    assert triangle_count(g2) == 1166
+
+
+def test_streamvbyte_device_decode_edge_cases():
+    """Zero-degree vertices, 1-vertex segments, ids needing 1..4 bytes."""
+    from graphaibench_tpu.compress.device_decode import decode_graph_device
+    from graphaibench_tpu.compress.vbyte import encode_graph
+    from graphaibench_tpu.graph.csr import from_edges
+
+    n = 70000  # forces 3-byte absolute ids
+    src = np.array([0, 0, 0, 5, 5, 69999, 3])
+    dst = np.array([1, 300, 69999, 6, 70, 0, 3 + 0])
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = from_edges(src, dst, n)
+    vg = encode_graph(g, "streamvbyte")
+    g2 = decode_graph_device(vg)
+    assert np.array_equal(g2.row_ptr, g.row_ptr)
+    assert np.array_equal(g2.col_idx, g.col_idx)
+
+
+def test_compressed_prefix_analytics(tmp_path, citeseer):
+    """analytics CLI path on a compressed prefix (reference
+    tc_omp_compressed semantics)."""
+    from graphaibench_tpu.analytics import run_benchmark
+    from graphaibench_tpu.compress.cli import save_compressed
+    from graphaibench_tpu.compress.vbyte import encode_graph
+
+    prefix = str(tmp_path / "cs_svb")
+    save_compressed(encode_graph(citeseer, "streamvbyte"), prefix)
+    assert run_benchmark("tc", prefix, []) == 0
