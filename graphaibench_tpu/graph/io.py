@@ -97,12 +97,40 @@ def read_meta(path: str) -> Meta:
 
 
 def load_graph(path: str, *, with_vlabels: bool = False,
-               with_elabels: bool = False) -> CSRGraph:
-    """Load a graph dataset directory into a CSRGraph."""
+               with_elabels: bool = False, mmap: bool = False) -> CSRGraph:
+    """Load a graph dataset directory into a CSRGraph.
+
+    ``mmap=True`` maps vertex/edge files instead of reading them — the
+    reference's out-of-core graphs (``SemiOutOfCoreGraph`` /
+    ``OutOfCoreGraph``, include/graph.h:253, map_file graph.cc:44-56) for
+    graphs beyond RAM. The arrays are read-only views; transforms that
+    copy (orientation, selfloop, ...) materialize as usual, while
+    streaming consumers (per-shard slicing in the partitioner, device
+    uploads of row ranges) touch only the pages they use.
+    """
     meta = read_meta(path)
-    row_ptr = np.fromfile(os.path.join(path, "graph.vertex.bin"), dtype=np.int64)
+    vpath = os.path.join(path, "graph.vertex.bin")
+    epath = os.path.join(path, "graph.edge.bin")
+    if mmap:
+        row_ptr = np.memmap(vpath, dtype=np.int64, mode="r")
+        # same bytes as the on-disk uint32; ids are < 2^31 per shard
+        col_idx = np.memmap(epath, dtype=np.int32, mode="r")
+        assert len(row_ptr) == meta.nv + 1, (len(row_ptr), meta.nv)
+        assert len(col_idx) == meta.ne, (len(col_idx), meta.ne)
+        vlabels = elabels = None
+        vl_path = os.path.join(path, "graph.vlabel.bin")
+        if with_vlabels and os.path.exists(vl_path):
+            vlabels = np.memmap(vl_path, dtype=np.uint8, mode="r")[: meta.nv]
+        el_path = os.path.join(path, "graph.elabel.bin")
+        if with_elabels and os.path.exists(el_path):
+            dt = {1: np.uint8, 2: np.int16, 4: np.float32}[meta.elabel_size]
+            elabels = np.memmap(el_path, dtype=dt, mode="r")[: meta.ne]
+        return CSRGraph(row_ptr=row_ptr, col_idx=col_idx, vlabels=vlabels,
+                        elabels=elabels, n_left=meta.nv_left,
+                        n_right=meta.nv_right)
+    row_ptr = np.fromfile(vpath, dtype=np.int64)
     assert len(row_ptr) == meta.nv + 1, (len(row_ptr), meta.nv)
-    col_idx = np.fromfile(os.path.join(path, "graph.edge.bin"), dtype=np.uint32)
+    col_idx = np.fromfile(epath, dtype=np.uint32)
     assert len(col_idx) == meta.ne, (len(col_idx), meta.ne)
     vlabels = elabels = None
     vl_path = os.path.join(path, "graph.vlabel.bin")
@@ -190,6 +218,7 @@ def load_gnn_dataset(
     is_single_class: bool = True,
     synth_feat_len: int = 0,
     seed: int = 0,
+    mmap: bool = False,
 ) -> GnnDataset:
     """Load a dataset directory for GNN training.
 
@@ -200,7 +229,7 @@ def load_gnn_dataset(
     ``synth_feat_len`` are synthesized so training remains exercisable.
     """
     meta = read_meta(path)
-    g = load_graph(path, with_vlabels=True)
+    g = load_graph(path, with_vlabels=True, mmap=mmap)
     nv = g.nv
     rng = np.random.default_rng(seed)
     num_cls = meta.num_vertex_classes or 1
@@ -220,7 +249,12 @@ def load_gnn_dataset(
     # features
     feats_path = os.path.join(path, "graph.feats.bin")
     if meta.feat_len > 0 and os.path.exists(feats_path):
-        feats = np.fromfile(feats_path, dtype=np.float32).reshape(nv, meta.feat_len)
+        if mmap:
+            feats = np.memmap(feats_path, dtype=np.float32,
+                              mode="r").reshape(nv, meta.feat_len)
+        else:
+            feats = np.fromfile(feats_path,
+                                dtype=np.float32).reshape(nv, meta.feat_len)
     else:
         fl = synth_feat_len or max(meta.feat_len, 32)
         # sparse-ish deterministic features: ~1% nonzero like bag-of-words

@@ -168,3 +168,19 @@ def test_generators():
     u = uniform_random(100, 300, seed=2)
     src, dst = u.coo()
     assert np.all(src != dst)
+
+
+def test_mmap_load(citeseer):
+    """Out-of-core loading (reference OutOfCoreGraph, graph.h:253): memmap
+    views must equal the eager load and feed transforms unchanged."""
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.io import load_graph
+
+    g = load_graph("/root/reference/inputs/citeseer", with_vlabels=True,
+                   mmap=True)
+    assert isinstance(g.row_ptr, np.memmap) or g.row_ptr.base is not None
+    assert np.array_equal(g.row_ptr, citeseer.row_ptr)
+    assert np.array_equal(g.col_idx, citeseer.col_idx)
+    assert np.array_equal(g.vlabels, citeseer.vlabels)
+    dag = T.orientation(g)
+    assert dag.ne == citeseer.ne // 2
