@@ -98,15 +98,53 @@ def cmd_analytics(argv: list[str]) -> int:
     return run_benchmark(argv[0], resolve_dataset(argv[1]), argv[2:])
 
 
+def cmd_info(argv: list[str]) -> int:
+    """<dataset> — print meta + degree stats (query_graph_info analog)."""
+    if not argv:
+        print("usage: info <dataset>")
+        return 2
+    import numpy as np
+
+    from graphaibench_tpu.graph.io import load_graph, read_meta
+
+    path = resolve_dataset(argv[0])
+    meta = read_meta(path)
+    g = load_graph(path, with_vlabels=True, mmap=True)
+    deg = g.degrees()
+    print(f"|V| {g.nv} |E| {g.ne}")
+    print(f"max_degree {deg.max()}  avg_degree {deg.mean():.2f}  "
+          f"min_degree {deg.min()}")
+    if g.is_bipartite():
+        print(f"bipartite: {g.n_left} x {g.n_right}")
+    if meta.feat_len:
+        print(f"feat_len {meta.feat_len}")
+    if meta.num_vertex_classes:
+        print(f"vertex classes {meta.num_vertex_classes}")
+    if g.vlabels is not None:
+        print(f"vlabels present ({len(np.unique(np.asarray(g.vlabels)))} "
+              f"distinct)")
+    for name, rng in (("train", meta.train), ("val", meta.val),
+                      ("test", meta.test)):
+        if rng:
+            print(f"{name}_range [{rng[0]}, {rng[1]}) count {rng[2]}")
+    # short degree histogram (pow2 bins, GraphT::degree_histogram)
+    bins = np.bincount(np.ceil(np.log2(np.maximum(deg, 1) + 1)).astype(int))
+    hist = " ".join(f"2^{i}:{c}" for i, c in enumerate(bins) if c)
+    print(f"degree histogram {hist}")
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) < 2:
-        print("usage: graphaibench_tpu.cli <train|analytics|compress> ...")
+        print("usage: graphaibench_tpu.cli <train|analytics|compress|info> ...")
         return 2
     cmd = sys.argv[1]
     if cmd == "train":
         return cmd_train(sys.argv[2:])
     if cmd == "analytics":
         return cmd_analytics(sys.argv[2:])
+    if cmd == "info":
+        return cmd_info(sys.argv[2:])
     if cmd == "compress":
         from graphaibench_tpu.compress.cli import main as compress_main
 
