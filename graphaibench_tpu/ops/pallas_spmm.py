@@ -110,5 +110,6 @@ def spmm_ell_pallas(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray,
             # rare very-wide hub buckets: SMEM blocks would be too big;
             # the XLA gather handles the few huge rows
             contrib = jnp.einsum("rw,rwf->rf", wb, x[b.nbr])
-        out = out.at[b.row_ids].set(contrib)
+        # add, not set: heavy rows split across virtual rows
+        out = out.at[b.row_ids].add(contrib)
     return out

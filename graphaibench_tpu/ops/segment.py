@@ -19,11 +19,13 @@ def segment_softmax(g: DeviceGraph, scores: jnp.ndarray) -> jnp.ndarray:
     Matches the reference's per-row ``softmax(deg, scores, norm_scores)``:
     max-subtracted exp, normalized within the row."""
     seg = g.edge_src
-    row_max = jax.ops.segment_max(scores, seg, num_segments=g.nv)
+    row_max = jax.ops.segment_max(scores, seg, num_segments=g.nv,
+                                  indices_are_sorted=True)
     # rows with no edges produce -inf max; they have no edges to index
     shifted = scores - row_max[seg]
     e = jnp.exp(shifted)
-    denom = jax.ops.segment_sum(e, seg, num_segments=g.nv)
+    denom = jax.ops.segment_sum(e, seg, num_segments=g.nv,
+                                indices_are_sorted=True)
     return e / denom[seg]
 
 
@@ -34,9 +36,11 @@ def segment_softmax_vjp(
     dx_e = y_e * (dy_e - sum_row(y*dy))  — the d_softmax of
     math_functions.cpp applied per row."""
     seg = g.edge_src
-    inner = jax.ops.segment_sum(y * dy, seg, num_segments=g.nv)
+    inner = jax.ops.segment_sum(y * dy, seg, num_segments=g.nv,
+                                indices_are_sorted=True)
     return y * (dy - inner[seg])
 
 
 def segment_sum_edges(g: DeviceGraph, vals: jnp.ndarray) -> jnp.ndarray:
-    return jax.ops.segment_sum(vals, g.edge_src, num_segments=g.nv)
+    return jax.ops.segment_sum(vals, g.edge_src, num_segments=g.nv,
+                               indices_are_sorted=True)

@@ -40,7 +40,8 @@ from graphaibench_tpu.ops.device_graph import DeviceGraph
 def spmm_coo(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Gather + segment-sum path."""
     msgs = x[g.col_idx] * w[:, None]
-    return jax.ops.segment_sum(msgs, g.edge_src, num_segments=g.nv)
+    return jax.ops.segment_sum(msgs, g.edge_src, num_segments=g.nv,
+                               indices_are_sorted=True)
 
 
 # the TPU gather engine is row-rate-bound for rows up to ~512 bytes and
@@ -70,7 +71,9 @@ def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarra
         wb = w_pad[b.edge_id]                 # (R, W)
         gathered = x[b.nbr]                   # (R, W, F)
         contrib = jnp.einsum("rw,rwf->rf", wb, gathered)
-        out = out.at[b.row_ids].set(contrib)
+        # add, not set: heavy rows are split across several virtual rows
+        # (same cost as set, measured)
+        out = out.at[b.row_ids].add(contrib)
     return out
 
 
