@@ -134,6 +134,16 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             from graphaibench_tpu.graph.transforms import orientation
             ok = counts.get("triangle") == verifiers.triangle_count_serial(
                 orientation(g))
+    elif kernel == "embed":
+        from graphaibench_tpu.analytics.embedding import deepwalk, node2vec
+        algo = args[0] if args else "deepwalk"
+        dim = int(args[1]) if len(args) > 1 else 64
+        fn = node2vec if algo == "node2vec" else deepwalk
+        emb = fn(g, dim=dim)
+        dt = time.perf_counter() - t0
+        print(f"{algo} embeddings {emb.shape}, mean norm "
+              f"{np.linalg.norm(emb, axis=1).mean():.4f}")
+        ok = bool(np.isfinite(emb).all())
     elif kernel == "sample":
         seeds = np.arange(min(64, g.nv))
         hops = khop_sample(g, seeds)
