@@ -4,12 +4,26 @@ The reference counts sum over DAG edges (u, v) of |N(u) ∩ N(v)| with
 AVX/warp merge or galloping intersections (src/triangle/omp_base.cc:5-26,
 intersect.cc, bs_warp_edge.cuh). The TPU formulation packs the oriented
 adjacency into a padded (nv, W) matrix and answers each edge's
-intersection with a batched binary search (searchsorted) — |N(u)|·log W
-comparisons per edge on the VPU, no data-dependent control flow. Edges
-are processed in fixed-size chunks to bound memory.
+intersection with a fused broadcast-compare-and-reduce on the VPU — no
+data-dependent control flow, no random access beyond the two row
+gathers.
+
+Performance structure (load balancing without warps):
+  * degree-ordered DAG orientation bounds out-degree (~sqrt(m) on
+    power-law graphs), so the packed matrix stays small;
+  * edges are GROUPED BY the pow2 out-degree of their source, so each
+    group's compare volume is W_src*W per edge instead of W*W — the TPU
+    analog of the reference's hybrid merge/galloping dispatch on degree
+    skew (intersect.cc:6-80);
+  * the packed matrix is passed as a jit argument (a closed-over
+    constant would be re-serialized into every remote compile);
+  * per-group totals are reduced on device, summed in Python ints to
+    survive the billion-triangle goldens (src/triangle/README.md:50-63).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,42 +45,88 @@ def _pack_padded(g: CSRGraph, sentinel: int):
     return nbr.astype(np.int32), deg
 
 
-def triangle_count(g: CSRGraph, *, chunk: int = 1 << 18) -> int:
-    """Exact triangle count of an undirected graph (golden values in
-    src/triangle/README.md:50-63, e.g. citeseer = 1166)."""
+@functools.partial(jax.jit, static_argnames=("wa",))
+def _count_group(nbr, src_c, dst_c, valid_c, *, wa: int):
+    """Sum over a chunk of DAG edges of |N(src) ∩ N(dst)|, where every
+    src in the chunk has out-degree <= wa.
+
+    Intersection by COMPARE-ALL: a broadcast equality (C, wa, W) reduced
+    on the fly. Sequential VPU compares beat binary search here by ~200x
+    measured — take_along_axis random gathers cost ~wa scalar gathers
+    per edge per step, while wa*W fused compares stream at full VPU rate
+    (rmat17 wa=64 group: 0.057s vs 12.2s)."""
+    a = nbr[src_c][:, :wa]          # (C, wa) sorted, sentinel-padded
+    b = nbr[dst_c]                  # (C, W)  sorted, sentinel-padded
+    sent = nbr.shape[0]             # real ids are < nv; sentinel is not
+    eq = (a[:, :, None] == b[:, None, :]) & (a < sent)[:, :, None]
+    # per-chunk count <= C * wa < 2^31; the grand total accumulates in
+    # Python ints on host (billion-triangle safe)
+    return jnp.sum(eq & valid_c[:, None, None], dtype=jnp.int32)
+
+
+# device-resident TC state per graph (the reference's analog: the graph
+# is uploaded once per process, graph_gpu.h init). Keyed by object id;
+# one entry only — TC is typically called repeatedly on one graph.
+_TC_CACHE: dict = {}
+
+
+def _tc_device_state(g: CSRGraph):
+    key = id(g)
+    if _TC_CACHE.get("key") == key:
+        return _TC_CACHE["state"]
     dag = T.orientation(g)
     sentinel = dag.nv + 1
     nbr_np, deg = _pack_padded(dag, sentinel)
     src_np, dst_np = dag.coo()
-    ne = dag.ne
-    if ne == 0:
+    W = nbr_np.shape[1]
+    # group edges by pow2 out-degree of their source; merge tiny groups
+    # up to width 8 (each distinct (P, wa) shape is a compile — costly
+    # through a tunnelled TPU)
+    src_deg = np.maximum(deg[src_np], 8)
+    group = np.ceil(np.log2(src_deg)).astype(np.int64)
+    order = np.argsort(group, kind="stable")
+    gids, counts = np.unique(group, return_counts=True)
+    state = (
+        jnp.asarray(nbr_np),
+        jnp.asarray(src_np[order]),
+        jnp.asarray(dst_np[order]),
+        gids.tolist(), counts.tolist(), W, dag.ne,
+    )
+    _TC_CACHE["key"] = key
+    _TC_CACHE["state"] = state
+    return state
+
+
+def triangle_count(g: CSRGraph, *, mem_budget: int = 2 << 30) -> int:
+    """Exact triangle count of an undirected graph (golden values in
+    src/triangle/README.md:50-63, e.g. citeseer = 1166).
+
+    Edges are sorted by source-out-degree group on host and shipped to
+    the device ONCE (cached across calls); per-group work then slices
+    device-resident arrays — repeated host->device transfers through a
+    tunnelled TPU cost ~0.2s/MB and would dominate otherwise. Group
+    chunks are sized by a device-memory budget and padded to pow2 shapes
+    to bound the number of compiles."""
+    if g.ne == 0:
         return 0
-
-    nbr = jnp.asarray(nbr_np)
-
-    @jax.jit
-    def count_chunk(src_c, dst_c, valid_c):
-        a = nbr[src_c]            # (C, W) sorted with sentinel padding
-        b = nbr[dst_c]            # (C, W)
-        # membership of each a-element in b via batched binary search
-        idx = jax.vmap(jnp.searchsorted)(b, a)
-        idx = jnp.minimum(idx, b.shape[1] - 1)
-        found = jnp.take_along_axis(b, idx, axis=1) == a
-        found &= (a < sentinel) & valid_c[:, None]
-        # per-edge counts stay < 2^31; the grand total is summed on host
-        # in Python ints to avoid int32 overflow on billion-triangle graphs
-        return jnp.sum(found, axis=1, dtype=jnp.int32)
-
-    csize = min(chunk, ne)
+    nbr, s_all, d_all, gids, counts, W, ne_dag = _tc_device_state(g)
+    if ne_dag == 0:
+        return 0
     total = 0
-    for s in range(0, ne, csize):
-        e = min(s + csize, ne)
-        pad = csize - (e - s)
-        src_c = np.pad(src_np[s:e], (0, pad))
-        dst_c = np.pad(dst_np[s:e], (0, pad))
-        valid = np.pad(np.ones(e - s, dtype=bool), (0, pad))
-        total += int(np.asarray(count_chunk(jnp.asarray(src_c),
-                                            jnp.asarray(dst_c),
-                                            jnp.asarray(valid)),
-                                dtype=np.int64).sum())
+    offset = 0
+    for gid, cnt in zip(gids, counts):
+        wa = min(1 << int(gid), W)
+        # bound both memory ((W+wa) int32 per edge) and the fused
+        # compare volume (wa*W per edge) per call
+        csize = max(1, min(int(mem_budget // ((W + wa) * 4)),
+                           int(4e9 // (wa * W))))
+        for lo in range(offset, offset + cnt, csize):
+            hi = min(lo + csize, offset + cnt)
+            n = hi - lo
+            P = 1 << (n - 1).bit_length() if n > 1 else 1
+            s_c = jnp.pad(s_all[lo:hi], (0, P - n))
+            d_c = jnp.pad(d_all[lo:hi], (0, P - n))
+            valid = jnp.arange(P, dtype=jnp.int32) < n
+            total += int(_count_group(nbr, s_c, d_c, valid, wa=wa))
+        offset += cnt
     return int(total)
