@@ -84,6 +84,16 @@ def main():
         model.train_epoch()
     epoch_s = (time.perf_counter() - t0) / epochs
 
+    # GAT epoch on the same graph (SDDMM + segment softmax + SpMM path)
+    cfg_gat = ModelConfig(arch="gat", num_layers=2, dim_init=feat,
+                          dim_hid=128, num_cls=16, lr=0.01)
+    model_gat = Model(cfg_gat, ds)
+    model_gat.train_epoch()  # compile
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        model_gat.train_epoch()
+    gat_epoch_s = (time.perf_counter() - t0) / epochs
+
     print(json.dumps({
         "metric": "spmm_edges_per_s",
         "value": float(edges_per_s),
@@ -96,6 +106,7 @@ def main():
             "gather_rows_per_s": float(gather_rows_per_s),
             "sol_edges_per_s": float(sol_edges_per_s),
             "gcn_epoch_s": epoch_s,
+            "gat_epoch_s": gat_epoch_s,
         },
     }))
 

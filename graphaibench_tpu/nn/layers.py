@@ -160,6 +160,16 @@ def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
     logits = gmath.leaky_relu(sddmm_add(dg, sl, sr), 0.2)
     # edge_w is 1 for ordinary graphs (reference semantics); for padded
     # sampled subgraphs it is the edge-validity mask zeroing fake edges
+    needs_scores = return_scores or (
+        train and cfg.score_drop > 0.0 and key is not None)
+    from graphaibench_tpu.ops.spmm import _pick_impl
+
+    if dg.ell and not needs_scores and _pick_impl(dg, cfg.spmm_impl) == "ell":
+        # fused softmax+aggregation (no per-edge score materialization)
+        from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+
+        out = gat_attention_spmm(dg, logits, edge_w, h)
+        return jax.nn.relu(out) if act else out
     scores = segment_softmax(dg, logits) * edge_w
     if train and cfg.score_drop > 0.0 and key is not None:
         k2 = jax.random.fold_in(key, 1)

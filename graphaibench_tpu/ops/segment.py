@@ -13,19 +13,48 @@ import jax.numpy as jnp
 from graphaibench_tpu.ops.device_graph import DeviceGraph
 
 
+def _row_reduce_ell(g: DeviceGraph, vals: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Per-source-row reduction of per-edge values via the ELL buckets:
+    dense (R, W) reductions + one small scatter per bucket. On TPU this
+    replaces jax.ops.segment_max/_sum, whose big scatters cost ~125 ms
+    on a 4M-edge graph vs ~5 ms for the streaming ELL passes."""
+    if kind == "max":
+        pad_val, init = -jnp.inf, jnp.full((g.nv,), -jnp.inf, vals.dtype)
+    else:
+        pad_val, init = 0.0, jnp.zeros((g.nv,), vals.dtype)
+    v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
+    out = init
+    for b in g.ell:
+        vb = v_pad[b.edge_id]                   # (R, W)
+        if kind == "max":
+            out = out.at[b.row_ids].max(vb.max(axis=1))
+        else:
+            out = out.at[b.row_ids].add(vb.sum(axis=1))
+    return out
+
+
 def segment_softmax(g: DeviceGraph, scores: jnp.ndarray) -> jnp.ndarray:
     """Row-wise (per-source-vertex) softmax of per-edge scores.
 
     Matches the reference's per-row ``softmax(deg, scores, norm_scores)``:
-    max-subtracted exp, normalized within the row."""
+    max-subtracted exp, normalized within the row. The max shift is
+    gradient-stopped (softmax is shift-invariant, and autodiff through a
+    scatter-max transpose is pure waste)."""
     seg = g.edge_src
-    row_max = jax.ops.segment_max(scores, seg, num_segments=g.nv,
-                                  indices_are_sorted=True)
+    use_ell = bool(g.ell)
+    if use_ell:
+        row_max = _row_reduce_ell(g, scores, "max")
+    else:
+        row_max = jax.ops.segment_max(scores, seg, num_segments=g.nv,
+                                      indices_are_sorted=True)
     # rows with no edges produce -inf max; they have no edges to index
-    shifted = scores - row_max[seg]
+    shifted = scores - jax.lax.stop_gradient(row_max)[seg]
     e = jnp.exp(shifted)
-    denom = jax.ops.segment_sum(e, seg, num_segments=g.nv,
-                                indices_are_sorted=True)
+    if use_ell:
+        denom = _row_reduce_ell(g, e, "sum")
+    else:
+        denom = jax.ops.segment_sum(e, seg, num_segments=g.nv,
+                                    indices_are_sorted=True)
     return e / denom[seg]
 
 

@@ -143,7 +143,35 @@ def sddmm_dot(g: DeviceGraph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ef,ef->e", a[g.edge_src], b[g.col_idx])
 
 
+@jax.custom_vjp
 def sddmm_add(g: DeviceGraph, sa: jnp.ndarray, sb: jnp.ndarray) -> jnp.ndarray:
     """Per-edge s_e = sa[src_e] + sb[dst_e] (GAT rank-1 attention logits,
-    gat_aggregator.cpp:57-80: a_l.Wh_i + a_r.Wh_j)."""
+    gat_aggregator.cpp:57-80: a_l.Wh_i + a_r.Wh_j).
+
+    Custom VJP: the autodiff adjoint of a (ne,)-gather is a (ne,)-scatter
+    -add, which is slow on TPU; the row sums stream through the ELL
+    buckets instead (dst side via the host-precomputed transpose
+    permutation)."""
     return sa[g.edge_src] + sb[g.col_idx]
+
+
+def _sddmm_add_fwd(g, sa, sb):
+    return sa[g.edge_src] + sb[g.col_idx], g
+
+
+def _sddmm_add_bwd(g, ct):
+    if g.ell:
+        from graphaibench_tpu.ops.segment import _row_reduce_ell
+
+        dsa = _row_reduce_ell(g, ct, "sum")
+        dsb = (_row_reduce_ell(g, ct[g.trans_perm], "sum")
+               if g.has_transpose else
+               jax.ops.segment_sum(ct, g.col_idx, num_segments=g.nv))
+    else:
+        dsa = jax.ops.segment_sum(ct, g.edge_src, num_segments=g.nv,
+                                  indices_are_sorted=True)
+        dsb = jax.ops.segment_sum(ct, g.col_idx, num_segments=g.nv)
+    return _zero_cotangent(g), dsa, dsb
+
+
+sddmm_add.defvjp(_sddmm_add_fwd, _sddmm_add_bwd)

@@ -176,3 +176,92 @@ def test_pallas_spmm_interpret(small_graph, rng):
     out_p = np.asarray(spmm_ell_pallas(dg, w, x, interpret=True))
     out_r = np.asarray(spmm_coo(dg, w, x))
     np.testing.assert_allclose(out_p, out_r, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gat_attention_matches_unfused():
+    """gat_attention_spmm (fused softmax+SpMM, custom VJP) must equal the
+    segment_softmax + spmm composition in values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+    from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+    from graphaibench_tpu.ops.segment import segment_softmax
+    from graphaibench_tpu.ops.spmm import spmm
+
+    g = rmat(8, 8, seed=3)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.nv, 16)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+    ew = jnp.ones(g.ne, jnp.float32)
+
+    ref = spmm(dg, segment_softmax(dg, logits) * ew, x, "ell")
+    got = gat_attention_spmm(dg, logits, ew, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_ref(l, xx):
+        return (spmm(dg, segment_softmax(dg, l) * ew, xx, "ell") ** 2).sum()
+
+    def loss_fused(l, xx):
+        return (gat_attention_spmm(dg, l, ew, xx) ** 2).sum()
+
+    gl_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(logits, x)
+    gl_f, gx_f = jax.grad(loss_fused, argnums=(0, 1))(logits, x)
+    np.testing.assert_allclose(np.asarray(gl_f), np.asarray(gl_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gat_respects_edge_mask():
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+    from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+    from graphaibench_tpu.ops.segment import segment_softmax
+    from graphaibench_tpu.ops.spmm import spmm
+
+    g = rmat(7, 8, seed=5)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((g.nv, 8)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+    ew = jnp.asarray((rng.random(g.ne) > 0.3).astype(np.float32))
+    ref = spmm(dg, segment_softmax(dg, logits) * ew, x, "ell")
+    got = gat_attention_spmm(dg, logits, ew, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sddmm_add_custom_vjp():
+    """sddmm_add's streaming adjoint must equal the autodiff scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+    from graphaibench_tpu.ops.spmm import sddmm_add
+
+    g = rmat(7, 8, seed=2)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    rng = np.random.default_rng(0)
+    sa = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    sb = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+
+    def loss(sa, sb):
+        return (sddmm_add(dg, sa, sb) * w).sum()
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(sa, sb)
+    # oracle: explicit scatter
+    src, dst = g.coo()
+    exp_a = np.zeros(g.nv, np.float32)
+    np.add.at(exp_a, src, np.asarray(w))
+    exp_b = np.zeros(g.nv, np.float32)
+    np.add.at(exp_b, dst, np.asarray(w))
+    np.testing.assert_allclose(np.asarray(ga), exp_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), exp_b, rtol=1e-5, atol=1e-5)
