@@ -63,7 +63,14 @@ def cmd_train(argv: list[str]) -> int:
     inductive = bool(arg(12, 0, int)) or subg_size > 0
 
     is_sigmoid = loss == "sigmoid"
-    ds = load_gnn_dataset(path, is_single_class=not is_sigmoid)
+    import glob as _glob
+
+    if _glob.glob(os.path.join(path, "*.csgr")):
+        from graphaibench_tpu.graph.io import load_gnn_dataset_csgr
+
+        ds = load_gnn_dataset_csgr(path, is_single_class=not is_sigmoid)
+    else:
+        ds = load_gnn_dataset(path, is_single_class=not is_sigmoid)
     cfg = make_config(
         arch, layers, ds.feat_len, hidden, ds.num_classes,
         subg_size=subg_size, feat_drop=feat_drop, score_drop=score_drop,

@@ -273,3 +273,57 @@ def load_gnn_dataset(
         val_range=meta.val or (0, 0, 0),
         test_range=meta.test or (0, 0, 0),
     )
+
+
+def load_gnn_dataset_csgr(path: str, *, is_single_class: bool = True) -> GnnDataset:
+    """Load a legacy csgr-format GNN dataset directory (the reference's
+    mmap Galois path, reader.cpp:16-246): ``<name>.csgr`` graph plus
+    sidecar text/binary files ``<name>-dims.txt`` (nv feat_len),
+    ``<name>-feats.bin`` (float32), ``<name>-labels.txt`` (header
+    "m num_classes" then one-hot rows), ``<name>-{train,val,test}_mask.txt``
+    (header "begin end" then one 0/1 per line)."""
+    import glob as _glob
+
+    from graphaibench_tpu.graph.converters import read_gr
+
+    csgrs = sorted(_glob.glob(os.path.join(path, "*.csgr")))
+    if not csgrs:
+        raise FileNotFoundError(f"no .csgr file under {path}")
+    name = os.path.basename(csgrs[0])[: -len(".csgr")]
+    g = read_gr(csgrs[0])
+    nv = g.nv
+
+    def side(suffix):
+        return os.path.join(path, f"{name}-{suffix}")
+
+    with open(side("labels.txt")) as f:
+        m, num_cls = (int(x) for x in f.readline().split())
+        rows = np.loadtxt(f, dtype=np.int32, max_rows=m).reshape(m, num_cls)
+    if is_single_class:
+        labels = np.argmax(rows != 0, axis=1).astype(np.int32)
+    else:
+        labels = rows.astype(np.uint8)
+
+    with open(side("dims.txt")) as f:
+        dn, feat_len = (int(x) for x in f.read().split()[:2])
+    feats = np.fromfile(side("feats.bin"), dtype=np.float32).reshape(dn, feat_len)
+
+    masks, ranges = {}, {}
+    for kind in ("train", "val", "test"):
+        with open(side(f"{kind}_mask.txt")) as f:
+            begin, end = (int(x) for x in f.readline().split())
+            flags = np.loadtxt(f, dtype=np.uint8, max_rows=nv)
+        mk = np.zeros(nv, dtype=np.uint8)
+        rng = np.arange(nv)
+        mk[(rng >= begin) & (rng < end) & (flags[:nv] != 0)] = 1
+        masks[kind] = mk
+        ranges[kind] = (begin, end, int(mk.sum()))
+
+    return GnnDataset(
+        graph=g, feats=feats, labels=labels,
+        train_mask=masks["train"], val_mask=masks["val"],
+        test_mask=masks["test"], num_classes=num_cls,
+        is_single_class=is_single_class,
+        train_range=ranges["train"], val_range=ranges["val"],
+        test_range=ranges["test"],
+    )

@@ -47,3 +47,19 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = restore_checkpoint(str(tmp_path / "ck"), like, step=3)
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
     np.testing.assert_array_equal(np.asarray(restored["nested"][0]), 1.0)
+
+
+def test_csgr_gnn_dataset_end_to_end():
+    """Legacy csgr dataset path (reference reader.cpp:16-246): load the
+    gnn-tester fixture and train a 2-layer GCN on it."""
+    from graphaibench_tpu.graph.io import load_gnn_dataset_csgr
+    from graphaibench_tpu.nn import Model, make_config
+
+    ds = load_gnn_dataset_csgr("/root/reference/inputs/gnn-tester")
+    assert ds.graph.nv == 7 and ds.feats.shape == (7, 3)
+    assert ds.num_classes == 7
+    assert ds.train_range == (0, 5, 5)
+    cfg = make_config("gcn", 2, ds.feat_len, 8, ds.num_classes)
+    m = Model(cfg, ds)
+    losses = [m.train_epoch()[0] for _ in range(15)]
+    assert losses[-1] < losses[0]
