@@ -151,6 +151,27 @@ class Model:
         )
 
     # -- public API --------------------------------------------------------
+    def save(self, path: str, *, step: int = 0) -> str:
+        """Checkpoint params + optimizer state (orbax-backed). The
+        reference has NO training checkpointing (SURVEY.md §5 — the
+        model lives and dies in one process); multi-host TPU training
+        needs it, so it is first-class here."""
+        from graphaibench_tpu.utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(path, {"params": self.params,
+                                      "opt_state": self.opt_state},
+                               step=step)
+
+    def restore(self, path: str, *, step: int = 0) -> None:
+        """Resume training from a checkpoint written by :meth:`save`."""
+        from graphaibench_tpu.utils.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(
+            path, {"params": self.params, "opt_state": self.opt_state},
+            step=step)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
     def train_epoch(self) -> tuple[float, float]:
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, loss, acc = self._train_step(

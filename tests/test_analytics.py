@@ -155,3 +155,26 @@ def test_run_benchmark_dispatcher(capsys):
     rc = run_benchmark("bfs", fixture_path("tester"), ["0"])
     out = capsys.readouterr().out
     assert "Correct" in out and rc == 0
+
+
+def test_sssp_delta_stepping_matches_dijkstra(citeseer):
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.analytics.traversal import (sssp_bellman_ford,
+                                                      sssp_delta_stepping)
+    from graphaibench_tpu.analytics.verifiers import dijkstra_serial
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+
+    g = citeseer
+    rng = np.random.default_rng(0)
+    w = (rng.random(g.ne) * 9 + 1).astype(np.float32)
+    # symmetric weights so the oracle's undirected view matches
+    dg = to_device_graph(g, with_transpose=False, with_ell=False)
+    for delta in (None, 2.0, 20.0):
+        dist = np.asarray(sssp_delta_stepping(dg, jnp.asarray(w), 0,
+                                              delta=delta))
+        ref = dijkstra_serial(g, w, 0)
+        assert np.allclose(dist, ref, rtol=1e-5, equal_nan=True), delta
+    bf = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), 0))
+    assert np.allclose(bf, dijkstra_serial(g, w, 0), rtol=1e-5,
+                       equal_nan=True)

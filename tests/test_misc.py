@@ -63,3 +63,41 @@ def test_csgr_gnn_dataset_end_to_end():
     m = Model(cfg, ds)
     losses = [m.train_epoch()[0] for _ in range(15)]
     assert losses[-1] < losses[0]
+
+
+def test_model_checkpoint_resume(tmp_path):
+    """Train 3 epochs, checkpoint, train 2 more; a restored model must
+    continue bit-identically (same params after the same extra epochs)."""
+    import jax
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn import Model, make_config
+
+    g = rmat(7, 8, seed=0)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((g.nv, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, np.uint8)
+    tr = (0, g.nv, g.nv)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=4,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = make_config("gcn", 2, 12, 8, 4)
+    m = Model(cfg, ds)
+    for _ in range(3):
+        m.train_epoch()
+    key_at_ckpt = m.key
+    m.save(str(tmp_path / "ck"), step=3)
+    for _ in range(2):
+        m.train_epoch()
+    final = jax.tree.map(np.asarray, m.params)
+
+    m2 = Model(cfg, ds)
+    m2.restore(str(tmp_path / "ck"), step=3)
+    m2.key = key_at_ckpt  # RNG state travels separately (seeded)
+    for _ in range(2):
+        m2.train_epoch()
+    final2 = jax.tree.map(np.asarray, m2.params)
+    for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(final2)):
+        np.testing.assert_array_equal(a, b)
