@@ -53,7 +53,8 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             g = decode_any(cg)
             print("decoded on host")
     else:
-        g = load_graph(dataset_path, with_elabels=(kernel == "cf"))
+        g = load_graph(dataset_path, with_elabels=(kernel == "cf"),
+                       with_vlabels=(kernel == "fsm"))
     print(f"|V| {g.nv} |E| {g.ne}")
     t0 = time.perf_counter()
     ok = None
@@ -134,6 +135,19 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             from graphaibench_tpu.graph.transforms import orientation
             ok = counts.get("triangle") == verifiers.triangle_count_serial(
                 orientation(g))
+    elif kernel == "fsm":
+        from graphaibench_tpu.analytics.fsm import fsm as run_fsm
+        min_sup = int(args[0]) if args else 1
+        max_size = int(args[1]) if len(args) > 1 else 3
+        if g.vlabels is None:
+            print("dataset has no vertex labels")
+            return 2
+        pats = run_fsm(g, min_support=min_sup, max_size=max_size)
+        dt = time.perf_counter() - t0
+        for f in sorted(pats, key=lambda f: -f.support)[:40]:
+            print(f"{f.kind} {f.labels} support={f.support}")
+        print(f"num_frequent_patterns = {len(pats)}")
+        ok = all(f.support >= min_sup for f in pats)
     elif kernel == "embed":
         from graphaibench_tpu.analytics.embedding import deepwalk, node2vec
         algo = args[0] if args else "deepwalk"
