@@ -113,41 +113,44 @@ class Model:
         self._eval_logits = jax.jit(self._eval_logits_fn)
 
     # -- pure step functions ----------------------------------------------
-    def _loss(self, params, dg, edge_w, key):
+    # NOTE: graph/feature/label arrays are jit ARGUMENTS, not closure
+    # captures — a closed-over device array is serialized into every
+    # remote compile (a 1M-vertex graph + features is >1 GB of payload
+    # through a tunnelled TPU; see CLAUDE.md).
+    def _loss(self, params, dg, edge_w, feats, labels, mask, key):
         begin, end, _ = self.ranges["train"]
         logits = apply_model(
-            self.cfg, params, dg, edge_w, self.feats, train=True, key=key
+            self.cfg, params, dg, edge_w, feats, train=True, key=key
         )
         if self.cfg.is_sigmoid:
             lg, rep, probs = masked_sigmoid_loss(
-                logits, self.labels, begin, end, self.masks["train"]
+                logits, labels, begin, end, mask
             )
         else:
             lg, rep, probs = masked_softmax_loss(
-                logits, self.labels, begin, end, self.masks["train"]
+                logits, labels, begin, end, mask
             )
         return lg, (rep, logits, probs)
 
-    def _train_step_fn(self, params, opt_state, key):
-        dg, edge_w = self.training.device, self.training.edge_w
+    def _train_step_fn(self, params, opt_state, key, dg, edge_w, feats,
+                       labels, mask):
         grads, (rep_loss, logits, probs) = jax.grad(self._loss, has_aux=True)(
-            params, dg, edge_w, key
+            params, dg, edge_w, feats, labels, mask, key
         )
         new_params, new_opt_state = self.opt.update(grads, opt_state, params)
         begin, end, _ = self.ranges["train"]
         valid = (jnp.arange(logits.shape[0]) >= begin) & (
             jnp.arange(logits.shape[0]) < end
-        ) & (self.masks["train"] != 0)
+        ) & (mask != 0)
         if self.cfg.is_sigmoid:
-            acc = gmath.masked_f1_micro(probs, self.labels, valid)
+            acc = gmath.masked_f1_micro(probs, labels, valid)
         else:
-            acc = gmath.masked_accuracy_single(logits, self.labels, valid)
+            acc = gmath.masked_accuracy_single(logits, labels, valid)
         return new_params, new_opt_state, rep_loss, acc
 
-    def _eval_logits_fn(self, params):
+    def _eval_logits_fn(self, params, dg, edge_w, feats):
         return apply_model(
-            self.cfg, params, self.full.device, self.full.edge_w,
-            self.feats, train=False,
+            self.cfg, params, dg, edge_w, feats, train=False,
         )
 
     # -- public API --------------------------------------------------------
@@ -175,7 +178,9 @@ class Model:
     def train_epoch(self) -> tuple[float, float]:
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, loss, acc = self._train_step(
-            self.params, self.opt_state, sub
+            self.params, self.opt_state, sub, self.training.device,
+            self.training.edge_w, self.feats, self.labels,
+            self.masks["train"],
         )
         return float(loss), float(acc)
 
@@ -294,7 +299,8 @@ class Model:
         return total
 
     def evaluate(self, split: str = "test") -> float:
-        logits = self._eval_logits(self.params)
+        logits = self._eval_logits(self.params, self.full.device,
+                                   self.full.edge_w, self.feats)
         begin, end, _ = self.ranges[split]
         idx = jnp.arange(logits.shape[0])
         valid = (idx >= begin) & (idx < end) & (self.masks[split] != 0)

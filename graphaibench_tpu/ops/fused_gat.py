@@ -35,17 +35,21 @@ from graphaibench_tpu.ops.spmm import sddmm_dot, spmm_ell
 
 def _fused_fwd_pass(g: DeviceGraph, logits, edge_w, x, m, z):
     """One streaming pass: per-bucket normalized scores -> aggregation."""
+    from graphaibench_tpu.ops.spmm import bucket_row_chunks
+
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     w_pad = jnp.concatenate([edge_w, jnp.zeros((1,), edge_w.dtype)])
     out = jnp.zeros((g.nv, x.shape[1]), x.dtype)
     for b in g.ell:
-        lb = l_pad[b.edge_id]                       # (R, W)
-        # row-indexed normalizers: R gathers, not ne
-        sb = jnp.exp(lb - m[b.row_ids][:, None]) * z[b.row_ids][:, None]
-        sb = sb * w_pad[b.edge_id]
-        # padded slots: exp(-inf - m) = 0 (m finite for non-empty rows)
-        out = out.at[b.row_ids].add(
-            jnp.einsum("rw,rwf->rf", sb, x[b.nbr]))
+        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+            rows = b.row_ids[lo:hi]
+            lb = l_pad[b.edge_id[lo:hi]]            # (r, W)
+            # row-indexed normalizers: r gathers, not ne
+            sb = jnp.exp(lb - m[rows][:, None]) * z[rows][:, None]
+            sb = sb * w_pad[b.edge_id[lo:hi]]
+            # padded slots: exp(-inf - m) = 0 (m finite for non-empty rows)
+            out = out.at[rows].add(
+                jnp.einsum("rw,rwf->rf", sb, x[b.nbr[lo:hi]]))
     return out
 
 

@@ -64,16 +64,31 @@ def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
+# cap on the materialized (rows, W, F) gather per stage: XLA materializes
+# the einsum input, so an unchunked hub bucket on a ~30M-edge graph would
+# need >10 GB and stall. 2^28 f32 elements = 1 GB per stage.
+_ELL_STAGE_ELEMS = 1 << 28
+
+
+def bucket_row_chunks(b, f: int):
+    """Row ranges of an ELL bucket bounded to _ELL_STAGE_ELEMS elements
+    of gathered (rows, W, f) data per chunk."""
+    r = b.nbr.shape[0]
+    step = max(1, _ELL_STAGE_ELEMS // max(b.width * f, 1))
+    return [(s, min(s + step, r)) for s in range(0, r, step)]
+
+
 def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel slot
     for b in g.ell:
-        wb = w_pad[b.edge_id]                 # (R, W)
-        gathered = x[b.nbr]                   # (R, W, F)
-        contrib = jnp.einsum("rw,rwf->rf", wb, gathered)
-        # add, not set: heavy rows are split across several virtual rows
-        # (same cost as set, measured)
-        out = out.at[b.row_ids].add(contrib)
+        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+            wb = w_pad[b.edge_id[lo:hi]]          # (r, W)
+            gathered = x[b.nbr[lo:hi]]            # (r, W, F)
+            contrib = jnp.einsum("rw,rwf->rf", wb, gathered)
+            # add, not set: heavy rows are split across several virtual
+            # rows (same cost as set, measured)
+            out = out.at[b.row_ids[lo:hi]].add(contrib)
     return out
 
 
