@@ -111,7 +111,9 @@ def test_sharded_training_matches_single_device(mesh, arch):
 
     # eval logits at identical initial params must agree tightly
     lg_d = np.asarray(trainer.eval_logits(params))
-    lg_s = np.asarray(single._eval_logits(single.params))
+    lg_s = np.asarray(single._eval_logits(
+            single.params, single.full.device, single.full.edge_w,
+            single.feats))
     np.testing.assert_allclose(lg_d, lg_s, rtol=1e-4, atol=1e-5)
 
     for step in range(3):
