@@ -60,6 +60,28 @@ class EllBucket:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class SegmentedEll:
+    """Column-segmented ELL: per column range [lo, hi) of the x table,
+    the edges whose neighbor falls in that range, as ELL buckets with
+    locally reindexed neighbor ids. The reference's CSR segmenting
+    ("making caches work for graph analytics", graph_partition.cc:184)
+    mapped to the TPU gather engine: gathers stay inside a <=64 MB slice
+    of x, where the measured rate is ~5x the whole-table rate on
+    million-vertex graphs (see CLAUDE.md scale findings)."""
+
+    bounds: tuple                  # static ((lo, hi), ...) column ranges
+    segs: tuple                    # tuple[tuple[EllBucket, ...], ...]
+
+    def tree_flatten(self):
+        return (self.segs,), (self.bounds,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(bounds=aux[0], segs=children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class DeviceGraph:
     """Static-topology device graph. Edge weights are supplied separately
     at call sites so one topology serves GCN norms, SAGE means, and GAT
@@ -75,15 +97,16 @@ class DeviceGraph:
     ell: tuple                     # tuple[EllBucket, ...] (possibly empty)
     nv: int                        # static
     ne: int                        # static
+    seg_ell: Optional[SegmentedEll] = None  # large-graph layout
 
     def tree_flatten(self):
         children = (self.row_ptr, self.col_idx, self.edge_src, self.deg,
-                    self.trans_perm, self.ell)
+                    self.trans_perm, self.ell, self.seg_ell)
         return children, (self.nv, self.ne)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, nv=aux[0], ne=aux[1])
+        return cls(*children[:6], nv=aux[0], ne=aux[1], seg_ell=children[6])
 
     @property
     def has_transpose(self) -> bool:
@@ -109,6 +132,45 @@ _WIDTH_GRID = (4, 8, 16, 32, 64)
 ELL_SPLIT = 64
 
 
+def _virtual_rows(targets, counts, starts, split):
+    """Split (target, start, count) row descriptors into <=split-wide
+    virtual rows. Returns (vr_target, vr_start, vr_len)."""
+    counts = counts.astype(np.int64)
+    nchunks = np.maximum((counts + split - 1) // split, 1)
+    vt = np.repeat(targets, nchunks)
+    vstart = np.repeat(starts.astype(np.int64), nchunks)
+    first = np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+    k = np.arange(len(vt), dtype=np.int64) - first
+    vs = vstart + k * split
+    vl = np.minimum(np.repeat(counts, nchunks) - k * split, split)
+    keep = vl > 0
+    return vt[keep], vs[keep], vl[keep]
+
+
+def _pack_buckets(vr_t, vr_s, vr_l, col, edge_ids, ne, widths):
+    """Width-bucket virtual rows and pack padded (R, W) matrices.
+    ``col[pos]`` supplies neighbor ids, ``edge_ids[pos]`` global edge
+    ids (None means identity)."""
+    buckets: list[EllBucket] = []
+    for wi, w in enumerate(widths):
+        lo = widths[wi - 1] if wi > 0 else 0
+        sel = (vr_l > lo) & (vr_l <= w)
+        if not sel.any():
+            continue
+        rows, starts, lens = vr_t[sel], vr_s[sel], vr_l[sel]
+        offs = np.arange(w, dtype=np.int64)[None, :]         # (1, w)
+        in_row = offs < lens[:, None]
+        pos_c = np.where(in_row, starts[:, None] + offs, 0)
+        nbr = np.where(in_row, col[pos_c], 0).astype(np.int32)
+        raw_eid = pos_c if edge_ids is None else edge_ids[pos_c]
+        eid = np.where(in_row, raw_eid, ne).astype(np.int32)
+        buckets.append(
+            EllBucket(row_ids=jnp.asarray(rows.astype(np.int32)),
+                      nbr=jnp.asarray(nbr), edge_id=jnp.asarray(eid),
+                      width=w))
+    return buckets
+
+
 def build_ell_buckets(g: CSRGraph, split: Optional[int] = None) -> list[EllBucket]:
     """Host-side degree-bucketed ELL packing with heavy-row splitting.
 
@@ -116,46 +178,52 @@ def build_ell_buckets(g: CSRGraph, split: Optional[int] = None) -> list[EllBucke
     Rows wider than ``split`` are broken into several virtual rows that
     target the same output row — consumers MUST accumulate with
     scatter-add, not set (spmm.py does)."""
-    deg = g.degrees().astype(np.int64)
-    ne = g.ne
-    buckets: list[EllBucket] = []
-    if g.nv == 0 or ne == 0:
-        return buckets
+    if g.nv == 0 or g.ne == 0:
+        return []
     split = split or ELL_SPLIT
     widths = [w for w in _WIDTH_GRID if w < split] + [split] \
         if split >= _WIDTH_GRID[0] else [split]
-    row_ptr = g.row_ptr
-    # virtual rows: (target_row, start_edge, length), heavy rows split
-    nchunks = np.maximum((deg + split - 1) // split, 1)
-    vr_t = np.repeat(np.arange(g.nv, dtype=np.int32), nchunks)
-    first = np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
-    k = np.arange(len(vr_t), dtype=np.int64) - first
-    vr_s = row_ptr[vr_t] + k * split
-    vr_l = np.minimum(deg[vr_t] - k * split, split)
-    keep = vr_l > 0
-    vr_t, vr_s, vr_l = vr_t[keep], vr_s[keep], vr_l[keep]
-    for wi, w in enumerate(widths):
-        lo = widths[wi - 1] if wi > 0 else 0
-        sel = (vr_l > lo) & (vr_l <= w)
-        if not sel.any():
+    deg = g.degrees().astype(np.int64)
+    vr_t, vr_s, vr_l = _virtual_rows(
+        np.arange(g.nv, dtype=np.int32), deg, g.row_ptr[:-1], split)
+    return _pack_buckets(vr_t, vr_s, vr_l, g.col_idx, None, g.ne, widths)
+
+
+# column-segment width: a 2^17-row slice of a 128-feature f32 x is 64 MB
+# — inside the measured fast-gather window (CLAUDE.md scale findings)
+SEG_ROWS = 1 << 17
+# enable the segmented layout automatically above this vertex count
+SEG_ELL_MIN_NV = 1 << 19
+
+
+def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
+                  split: Optional[int] = None) -> SegmentedEll:
+    """Column-segmented ELL build: edges grouped by neighbor range,
+    neighbor ids reindexed to the local slice."""
+    split = split or ELL_SPLIT
+    widths = [w for w in _WIDTH_GRID if w < split] + [split] \
+        if split >= _WIDTH_GRID[0] else [split]
+    src, dst = g.coo()
+    ne = g.ne
+    bounds, segs = [], []
+    for lo in range(0, g.nv, seg_rows):
+        hi = min(lo + seg_rows, g.nv)
+        sel = (dst >= lo) & (dst < hi)
+        eid = np.nonzero(sel)[0]
+        if len(eid) == 0:
+            bounds.append((lo, hi))
+            segs.append(())
             continue
-        rows, starts, lens = vr_t[sel], vr_s[sel], vr_l[sel]
-        # vectorized packing: slot (i, j) is edge starts[i] + j when
-        # j < lens[i], else padding
-        offs = np.arange(w, dtype=np.int64)[None, :]         # (1, w)
-        in_row = offs < lens[:, None]
-        pos_c = np.where(in_row, starts[:, None] + offs, 0)
-        nbr = np.where(in_row, g.col_idx[pos_c], 0).astype(np.int32)
-        eid = np.where(in_row, pos_c, ne).astype(np.int32)
-        buckets.append(
-            EllBucket(
-                row_ids=jnp.asarray(rows),
-                nbr=jnp.asarray(nbr),
-                edge_id=jnp.asarray(eid),
-                width=w,
-            )
-        )
-    return buckets
+        es, ed = src[eid], (dst[eid] - lo)
+        # CSR order is preserved by the mask, so es is already grouped
+        uniq, counts = np.unique(es, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        vr_t, vr_s, vr_l = _virtual_rows(uniq.astype(np.int32), counts,
+                                         starts, split)
+        segs.append(tuple(_pack_buckets(vr_t, vr_s, vr_l, ed, eid, ne,
+                                        widths)))
+        bounds.append((lo, hi))
+    return SegmentedEll(bounds=tuple(bounds), segs=tuple(segs))
 
 
 def to_device_graph(
@@ -164,15 +232,24 @@ def to_device_graph(
     with_transpose: bool = True,
     with_ell: bool = True,
     ell_split: Optional[int] = None,
+    seg_ell: Optional[bool] = None,
 ) -> DeviceGraph:
     """One-time host -> device transfer (the analog of the reference's
-    single copy_to_gpu crossing, net.cpp:186-187)."""
+    single copy_to_gpu crossing, net.cpp:186-187).
+
+    ``seg_ell=None`` enables the column-segmented layout automatically
+    for graphs above SEG_ELL_MIN_NV vertices (where whole-table gathers
+    fall off the fast window)."""
     assert g.ne < 2**31, "per-shard edge count must fit int32; partition first"
     src, dst = g.coo()
     trans = (
         jnp.asarray(T.transpose_edge_permutation(g)) if with_transpose else None
     )
     ell = tuple(build_ell_buckets(g, ell_split)) if with_ell else ()
+    if seg_ell is None:
+        seg_ell = with_ell and g.nv >= SEG_ELL_MIN_NV
+    seg = build_seg_ell(g, split=ell_split) if (seg_ell and with_ell and
+                                                g.ne > 0) else None
     return DeviceGraph(
         row_ptr=jnp.asarray(g.row_ptr.astype(np.int32)),
         col_idx=jnp.asarray(dst),
@@ -182,4 +259,5 @@ def to_device_graph(
         ell=ell,
         nv=g.nv,
         ne=g.ne,
+        seg_ell=seg,
     )

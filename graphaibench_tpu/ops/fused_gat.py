@@ -40,17 +40,25 @@ def _fused_fwd_pass(g: DeviceGraph, logits, edge_w, x, m, z):
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     w_pad = jnp.concatenate([edge_w, jnp.zeros((1,), edge_w.dtype)])
     out = jnp.zeros((g.nv, x.shape[1]), x.dtype)
-    for b in g.ell:
-        for lo, hi in bucket_row_chunks(b, x.shape[1]):
-            rows = b.row_ids[lo:hi]
-            lb = l_pad[b.edge_id[lo:hi]]            # (r, W)
-            # row-indexed normalizers: r gathers, not ne
-            sb = jnp.exp(lb - m[rows][:, None]) * z[rows][:, None]
-            sb = sb * w_pad[b.edge_id[lo:hi]]
-            # padded slots: exp(-inf - m) = 0 (m finite for non-empty rows)
-            out = out.at[rows].add(
-                jnp.einsum("rw,rwf->rf", sb, x[b.nbr[lo:hi]]))
-    return out
+
+    def accumulate(out, buckets, xs):
+        for b in buckets:
+            for lo, hi in bucket_row_chunks(b, xs.shape[1]):
+                rows = b.row_ids[lo:hi]
+                lb = l_pad[b.edge_id[lo:hi]]        # (r, W)
+                # row-indexed normalizers: r gathers, not ne
+                sb = jnp.exp(lb - m[rows][:, None]) * z[rows][:, None]
+                sb = sb * w_pad[b.edge_id[lo:hi]]
+                # padded slots: exp(-inf - m) = 0 (m finite, edge_w pad 0)
+                out = out.at[rows].add(
+                    jnp.einsum("rw,rwf->rf", sb, xs[b.nbr[lo:hi]]))
+        return out
+
+    if g.seg_ell is not None:
+        for (lo, hi), buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
+            out = accumulate(out, buckets, x[lo:hi])
+        return out
+    return accumulate(out, g.ell, x)
 
 
 def _row_denom_ell(g: DeviceGraph, logits, m):

@@ -78,10 +78,8 @@ def bucket_row_chunks(b, f: int):
     return [(s, min(s + step, r)) for s in range(0, r, step)]
 
 
-def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
-    w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel slot
-    for b in g.ell:
+def _accumulate_buckets(out, buckets, w_pad, x):
+    for b in buckets:
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
             wb = w_pad[b.edge_id[lo:hi]]          # (r, W)
             gathered = x[b.nbr[lo:hi]]            # (r, W, F)
@@ -90,6 +88,18 @@ def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarra
             # rows (same cost as set, measured)
             out = out.at[b.row_ids[lo:hi]].add(contrib)
     return out
+
+
+def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
+    w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel slot
+    if g.seg_ell is not None:
+        # column-segmented layout: every gather stays inside one x slice
+        # (the fast-gather window; +39% at 1M vertices, CLAUDE.md)
+        for (lo, hi), buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
+            out = _accumulate_buckets(out, buckets, w_pad, x[lo:hi])
+        return out
+    return _accumulate_buckets(out, g.ell, w_pad, x)
 
 
 def spmm_dense(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

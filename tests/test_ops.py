@@ -265,3 +265,57 @@ def test_sddmm_add_custom_vjp():
     np.add.at(exp_b, dst, np.asarray(w))
     np.testing.assert_allclose(np.asarray(ga), exp_a, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), exp_b, rtol=1e-5, atol=1e-5)
+
+
+def test_segmented_ell_spmm_matches_coo():
+    """Column-segmented layout (large-graph path) must equal coo/ell."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import build_seg_ell, to_device_graph
+    from graphaibench_tpu.ops.spmm import spmm_coo, spmm_ell
+
+    g = rmat(9, 8, seed=4)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    # force multiple segments on a small graph
+    seg = build_seg_ell(g, seg_rows=100)
+    dgs = dataclasses.replace(dg, seg_ell=seg)
+    assert len(seg.bounds) > 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.nv, 24)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+    ref = spmm_coo(dg, w, x)
+    np.testing.assert_allclose(np.asarray(spmm_ell(dgs, w, x)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_segmented_fused_gat_matches_unfused():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import build_seg_ell, to_device_graph
+    from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+    from graphaibench_tpu.ops.segment import segment_softmax
+    from graphaibench_tpu.ops.spmm import spmm
+
+    g = rmat(8, 8, seed=6)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    dgs = dataclasses.replace(dg, seg_ell=build_seg_ell(g, seg_rows=64))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((g.nv, 16)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+    ew = jnp.ones(g.ne, jnp.float32)
+    ref = spmm(dg, segment_softmax(dg, logits) * ew, x, "ell")
+    got = gat_attention_spmm(dgs, logits, ew, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gl_f = jax.grad(lambda l: gat_attention_spmm(dgs, l, ew, x).sum())(logits)
+    gl_r = jax.grad(
+        lambda l: spmm(dg, segment_softmax(dg, l) * ew, x, "ell").sum())(logits)
+    np.testing.assert_allclose(np.asarray(gl_f), np.asarray(gl_r),
+                               rtol=1e-4, atol=1e-4)
