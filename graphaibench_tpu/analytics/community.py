@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from graphaibench_tpu.graph.csr import CSRGraph, from_edges
+from graphaibench_tpu.graph.csr import CSRGraph
 
 
 def modularity(g: CSRGraph, comm: np.ndarray, weights=None) -> float:

@@ -16,7 +16,6 @@ searchsorted used by the triangle counter.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

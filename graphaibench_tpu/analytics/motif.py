@@ -23,7 +23,6 @@ the sparse ``tc.triangle_count`` machinery.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

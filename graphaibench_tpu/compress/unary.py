@@ -17,7 +17,6 @@ Bits are MSB-first within the stream; bytes are packed MSB-first
 
 from __future__ import annotations
 
-import numpy as np
 
 
 class BitWriter:

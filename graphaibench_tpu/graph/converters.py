@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from graphaibench_tpu.graph.csr import CSRGraph, from_edges
-from graphaibench_tpu.graph.io import Meta, save_graph
+from graphaibench_tpu.graph.io import save_graph
 from graphaibench_tpu.graph import transforms as T
 
 

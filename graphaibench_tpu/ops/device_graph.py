@@ -27,7 +27,6 @@ fit in 32 bits (XLA int64 is slow on TPU).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

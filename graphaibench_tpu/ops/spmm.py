@@ -29,7 +29,6 @@ The weight gradient is an SDDMM.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ is its own transpose up to permutation), so the same code path trains.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
