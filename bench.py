@@ -77,21 +77,19 @@ def main():
     cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=feat, dim_hid=128,
                       num_cls=16, lr=0.01)
     model = Model(cfg, ds)
-    model.train_epoch()  # compile
-    t0 = time.perf_counter()
     epochs = 10
-    for _ in range(epochs):
-        model.train_epoch()
+    model.train_epochs(epochs)  # compile
+    t0 = time.perf_counter()
+    model.train_epochs(epochs)
     epoch_s = (time.perf_counter() - t0) / epochs
 
     # GAT epoch on the same graph (SDDMM + segment softmax + SpMM path)
     cfg_gat = ModelConfig(arch="gat", num_layers=2, dim_init=feat,
                           dim_hid=128, num_cls=16, lr=0.01)
     model_gat = Model(cfg_gat, ds)
-    model_gat.train_epoch()  # compile
+    model_gat.train_epochs(epochs)  # compile
     t0 = time.perf_counter()
-    for _ in range(epochs):
-        model_gat.train_epoch()
+    model_gat.train_epochs(epochs)
     gat_epoch_s = (time.perf_counter() - t0) / epochs
 
     print(json.dumps({

@@ -79,13 +79,16 @@ def bucket_row_chunks(b, f: int):
 
 def _accumulate_buckets(out, buckets, w_pad, x):
     for b in buckets:
-        for lo, hi in bucket_row_chunks(b, x.shape[1]):
-            wb = w_pad[b.edge_id[lo:hi]]          # (r, W)
-            gathered = x[b.nbr[lo:hi]]            # (r, W, F)
-            contrib = jnp.einsum("rw,rwf->rf", wb, gathered)
+        chunks = bucket_row_chunks(b, x.shape[1])
+        for lo, hi in chunks:
+            whole = len(chunks) == 1
+            eid = b.edge_id if whole else b.edge_id[lo:hi]
+            nbr = b.nbr if whole else b.nbr[lo:hi]
+            rows = b.row_ids if whole else b.row_ids[lo:hi]
+            contrib = jnp.einsum("rw,rwf->rf", w_pad[eid], x[nbr])
             # add, not set: heavy rows are split across several virtual
             # rows (same cost as set, measured)
-            out = out.at[b.row_ids[lo:hi]].add(contrib)
+            out = out.at[rows].add(contrib)
     return out
 
 

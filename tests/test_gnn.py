@@ -220,3 +220,23 @@ def test_inductive_training():
     for _ in range(5):
         l, _ = model.train_epoch()
     assert np.isfinite(l)
+
+
+def test_train_epochs_scan_batching():
+    """Batched multi-epoch dispatch must train like the stepped path."""
+    from graphaibench_tpu.nn import Model, make_config
+    from tests.conftest import fixture_path
+
+    ds = load_gnn_dataset(fixture_path("cora"), synth_feat_len=16)
+    cfg = make_config("gcn", 2, ds.feat_len, 16, ds.num_classes)
+    m = Model(cfg, ds)
+    losses, accs = m.train_epochs(8)
+    assert losses.shape == (8,) and accs.shape == (8,)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    m2 = Model(cfg, ds)
+    for _ in range(8):
+        l2, _ = m2.train_epoch()
+    # both training modes land in the same neighborhood
+    assert abs(l2 - losses[-1]) < 0.35
