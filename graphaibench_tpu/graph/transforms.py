@@ -168,3 +168,52 @@ def k_core_decomposition(g: CSRGraph) -> np.ndarray:
                 np.subtract.at(deg, live_nbrs, 1)
         k += 1
     return core
+
+
+def relabel(g: CSRGraph, new_of_old: np.ndarray) -> CSRGraph:
+    """Relabel vertices by the permutation ``new_of_old`` (old id ->
+    new id). Adjacency stays sorted; vertex labels travel with their
+    vertices (edge labels are dropped — edge order changes)."""
+    src, dst = g.coo()
+    from graphaibench_tpu.graph.csr import from_edges
+
+    g2 = from_edges(new_of_old[src], new_of_old[dst], g.nv)
+    vl = el = None
+    if g.vlabels is not None:
+        vl = np.empty_like(np.asarray(g.vlabels))
+        vl[new_of_old] = np.asarray(g.vlabels)
+    import dataclasses as _dc
+
+    return _dc.replace(g2, vlabels=vl)
+
+
+def locality_order(g: CSRGraph, method: str = "louvain") -> np.ndarray:
+    """Vertex permutation (old id -> new id) that places connected
+    communities contiguously, so 1-D range sharding cuts fewer edges —
+    the in-repo replacement for the reference's offline partition files
+    (graph_partition.cc write_to_file). ``method``: 'louvain' (community
+    detection) or 'bfs' (Cuthill-McKee-style frontier order)."""
+    if method == "bfs":
+        order = []
+        seen = np.zeros(g.nv, bool)
+        for s in np.argsort(-g.degrees()):
+            if seen[s]:
+                continue
+            stack = [int(s)]
+            seen[s] = True
+            while stack:
+                v = stack.pop()
+                order.append(v)
+                for nb in g.neighbors(v):
+                    if not seen[nb]:
+                        seen[nb] = True
+                        stack.append(int(nb))
+        old_of_new = np.asarray(order, dtype=np.int64)
+    else:
+        from graphaibench_tpu.analytics.community import louvain
+
+        labels, _q = louvain(g)
+        old_of_new = np.argsort(labels, kind="stable")
+    new_of_old = np.empty(g.nv, dtype=np.int64)
+    new_of_old[old_of_new] = np.arange(g.nv)
+    return new_of_old

@@ -142,3 +142,41 @@ def test_sharded_spmm_empty_shards(mesh):
     out = np.asarray(make_sharded_spmm(mesh, sg)(jnp.asarray(pad_rows(x, sg.padded_nv))))
     deg = g.degrees().astype(np.float32)
     np.testing.assert_allclose(out[: g.nv, 0], deg, rtol=1e-5)
+
+
+def test_locality_order_cuts_halo():
+    """Community-ordered 1-D sharding must shrink the halo on a graph
+    with planted structure (vs the shuffled original)."""
+    import numpy as np
+
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.csr import from_edges
+    from graphaibench_tpu.parallel import build_sharded_graph
+
+    # 8 communities of 64, dense inside, sparse across, ids shuffled
+    rng = np.random.default_rng(0)
+    n, k = 512, 8
+    comm = rng.permutation(np.repeat(np.arange(k), n // k))
+    edges = []
+    for _ in range(6000):
+        u, v = rng.integers(0, n, 2)
+        if u != v and (comm[u] == comm[v] or rng.random() < 0.02):
+            edges.append((u, v))
+    src = np.array([e[0] for e in edges] + [e[1] for e in edges])
+    dst = np.array([e[1] for e in edges] + [e[0] for e in edges])
+    g = T.sort_and_clean(from_edges(src, dst, n))
+    w = np.ones(g.ne, np.float32)
+
+    def halo_of(gg):
+        sg = build_sharded_graph(gg, np.ones(gg.ne, np.float32), 8)
+        return int((sg.halo_map >= 0).sum())
+
+    base = halo_of(g)
+    perm = T.locality_order(g, "louvain")
+    g2 = T.relabel(g, perm)
+    assert g2.ne == g.ne
+    ordered = halo_of(g2)
+    assert ordered < 0.55 * base, (ordered, base)
+    # bfs order also helps
+    g3 = T.relabel(g, T.locality_order(g, "bfs"))
+    assert halo_of(g3) < 0.9 * base
