@@ -27,9 +27,12 @@ def _bench_looped(f, init, iters):
 
     run = jax.jit(lambda c: jax.lax.fori_loop(0, iters, lambda i, v: f(i, v), c))
     run(init).block_until_ready()
-    t0 = time.perf_counter()
-    run(init).block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(2):  # best-of-2: tunnel latency varies run to run
+        t0 = time.perf_counter()
+        run(init).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
