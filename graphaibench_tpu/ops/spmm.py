@@ -155,8 +155,8 @@ def _spmm_bwd(impl, res, ct):
     # adjoint aggregation: same topology, transpose-permuted weights
     w_t = w[g.trans_perm]
     dx = _IMPLS[_pick_impl(g, impl)](g, w_t, ct)
-    # weight gradient: per-edge dot(ct[src], x[dst]) — SDDMM
-    dw = jnp.einsum("ef,ef->e", ct[g.edge_src], x[g.col_idx])
+    # weight gradient: per-edge dot(ct[src], x[dst]) — SDDMM (chunked)
+    dw = sddmm_dot(g, ct, x)
     return (_zero_cotangent(g), dw, dx)
 
 
@@ -166,8 +166,21 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 def sddmm_dot(g: DeviceGraph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-edge dot product s_e = <a[src_e], b[dst_e]> — the reference's
     score-gradient kernel (gat_aggregator.cpp:106-113,
-    compute_scores_grad_warp graph_operations.h)."""
-    return jnp.einsum("ef,ef->e", a[g.edge_src], b[g.col_idx])
+    compute_scores_grad_warp graph_operations.h).
+
+    Chunked over edges: the two (E, F) gathers are materialized by XLA,
+    which at 32M edges x 128 features is 2 x 15.7 GB — past HBM. Each
+    chunk stays under ~1 GB."""
+    f = max(a.shape[1], 1)
+    step = max(1, (1 << 28) // f)
+    if g.ne <= step:
+        return jnp.einsum("ef,ef->e", a[g.edge_src], b[g.col_idx])
+    parts = []
+    for lo in range(0, g.ne, step):
+        hi = min(lo + step, g.ne)
+        parts.append(jnp.einsum("ef,ef->e", a[g.edge_src[lo:hi]],
+                                b[g.col_idx[lo:hi]]))
+    return jnp.concatenate(parts)
 
 
 @jax.custom_vjp
