@@ -23,16 +23,24 @@ import numpy as np
 
 
 def _bench_looped(f, init, iters):
+    """Median-of-3 timed runs, each on a FRESH input with the result
+    value fetched: through the tunnelled TPU, identical repeat
+    executions can be served from a cache and block_until_ready can
+    return early (see CLAUDE.md), so neither repeats nor bare blocking
+    are trustworthy."""
     import jax
 
     run = jax.jit(lambda c: jax.lax.fori_loop(0, iters, lambda i, v: f(i, v), c))
-    run(init).block_until_ready()
-    best = float("inf")
-    for _ in range(2):  # best-of-2: tunnel latency varies run to run
+    _ = np.asarray(run(init)[0])  # compile + force (tiny slice fetch)
+    times = []
+    for k in range(3):
+        init_k = init + np.float32(1e-6) * (k + 1)
+        _ = np.asarray(init_k[0])           # materialize input first
         t0 = time.perf_counter()
-        run(init).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        out = run(init_k)
+        _ = np.asarray(out[0])              # force execution; fetch one row
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[1]
 
 
 def main():

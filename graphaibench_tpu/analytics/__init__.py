@@ -127,7 +127,14 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
                                                       motif_counts)
         k = int(args[0]) if args else 4
         induced = len(args) > 1 and args[1] == "induced"
-        counts = induced_motif_counts(g) if induced else motif_counts(g, k)
+        if induced and k == 3:
+            ni = motif_counts(g, 3)
+            counts = {"triangle": ni["triangle"],
+                      "wedge": ni["wedge"] - 3 * ni["triangle"]}
+        elif induced:
+            counts = induced_motif_counts(g)
+        else:
+            counts = motif_counts(g, k)
         dt = time.perf_counter() - t0
         for name, c in sorted(counts.items()):
             print(f"{name} = {c}")
@@ -147,7 +154,23 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         for f in sorted(pats, key=lambda f: -f.support)[:40]:
             print(f"{f.kind} {f.labels} support={f.support}")
         print(f"num_frequent_patterns = {len(pats)}")
-        ok = all(f.support >= min_sup for f in pats)
+        if g.ne <= 5_000_000:
+            # independent check of the edge-pattern supports straight
+            # from the edge list (no NLF machinery)
+            lab = np.asarray(g.vlabels, dtype=np.int64)
+            L = int(lab.max()) + 1
+            src, dst = g.coo()
+            has = np.zeros((g.nv, L), dtype=bool)
+            has[src, lab[dst]] = True
+            got = {f.labels: f.support for f in pats if f.kind == "edge"}
+            exp = {}
+            for la in range(L):
+                for lb in range(la, L):
+                    na = int(((lab == la) & has[:, lb]).sum())
+                    nb = int(((lab == lb) & has[:, la]).sum())
+                    if min(na, nb) >= min_sup:
+                        exp[(la, lb)] = min(na, nb)
+            ok = got == exp
     elif kernel == "embed":
         from graphaibench_tpu.analytics.embedding import deepwalk, node2vec
         algo = args[0] if args else "deepwalk"

@@ -24,15 +24,7 @@ import numpy as np
 from graphaibench_tpu.graph.csr import CSRGraph
 
 
-def _padded_nbrs(g: CSRGraph):
-    W = max(g.max_degree(), 1)
-    deg = g.degrees()
-    starts = g.row_ptr[:, None]
-    offs = np.arange(W, dtype=np.int64)[None, :]
-    in_row = offs < deg[:, None]
-    pos = np.where(in_row, starts[: g.nv] + offs, 0)
-    nbr = np.where(in_row, g.col_idx[pos], 0).astype(np.int32)
-    return jnp.asarray(nbr), jnp.asarray(deg.astype(np.int32))
+from graphaibench_tpu.analytics.khop import _padded_nbrs  # shared packing
 
 
 def node2vec_walks(g: CSRGraph, starts: np.ndarray, walk_length: int, *,

@@ -40,12 +40,9 @@ class FrequentPattern:
 def _dense_masks(g: CSRGraph, lab: np.ndarray, L: int):
     import jax.numpy as jnp
 
-    a = np.zeros((g.nv, g.nv), dtype=np.float32)
-    src, dst = g.coo()
-    a[src, dst] = 1.0
-    a[dst, src] = 1.0
-    np.fill_diagonal(a, 0.0)
-    A = jnp.asarray(a)
+    from graphaibench_tpu.graph.transforms import dense_adjacency
+
+    A = jnp.asarray(dense_adjacency(g))
     masks = jnp.asarray((lab[None, :] == np.arange(L)[:, None])
                         .astype(np.float32))           # (L, nv)
     return A, masks

@@ -109,13 +109,9 @@ class Pattern:
 
 
 def _dense_adjacency(g: CSRGraph) -> np.ndarray:
-    """Symmetric 0/1 adjacency with zero diagonal (f32 for the MXU)."""
-    a = np.zeros((g.nv, g.nv), dtype=np.float32)
-    src, dst = g.coo()
-    a[src, dst] = 1.0
-    a[dst, src] = 1.0
-    np.fill_diagonal(a, 0.0)
-    return a
+    from graphaibench_tpu.graph.transforms import dense_adjacency
+
+    return dense_adjacency(g)
 
 
 def motif_counts(g: CSRGraph, k: int, *, edge_chunk: int = 4096) -> dict:

@@ -65,14 +65,15 @@ def _count_group(nbr, src_c, dst_c, valid_c, *, wa: int):
 
 
 # device-resident TC state per graph (the reference's analog: the graph
-# is uploaded once per process, graph_gpu.h init). Keyed by object id;
-# one entry only — TC is typically called repeatedly on one graph.
+# is uploaded once per process, graph_gpu.h init). One entry only — TC
+# is typically called repeatedly on one graph. The cached CSRGraph is
+# held strongly and compared by identity: an id()-keyed cache would
+# serve stale state when CPython reuses a freed object's address.
 _TC_CACHE: dict = {}
 
 
 def _tc_device_state(g: CSRGraph):
-    key = id(g)
-    if _TC_CACHE.get("key") == key:
+    if _TC_CACHE.get("graph") is g:
         return _TC_CACHE["state"]
     dag = T.orientation(g)
     sentinel = dag.nv + 1
@@ -92,7 +93,7 @@ def _tc_device_state(g: CSRGraph):
         jnp.asarray(dst_np[order]),
         gids.tolist(), counts.tolist(), W, dag.ne,
     )
-    _TC_CACHE["key"] = key
+    _TC_CACHE["graph"] = g
     _TC_CACHE["state"] = state
     return state
 

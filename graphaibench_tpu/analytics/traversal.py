@@ -108,9 +108,10 @@ def sssp_delta_stepping(
 
     def outer_body(state):
         dist, k, it = state
-        in_bucket = (dist >= k * delta) & (dist < (k + 1) * delta)
 
-        # inner fixpoint over light edges of this bucket
+        # inner fixpoint over light edges of this bucket (the active
+        # mask is recomputed each relaxation — vertices can fall INTO
+        # the current bucket mid-phase)
         def inner_cond(s):
             d, changed = s
             return changed

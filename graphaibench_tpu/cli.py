@@ -63,6 +63,10 @@ def cmd_train(argv: list[str]) -> int:
     inductive = bool(arg(12, 0, int)) or subg_size > 0
 
     is_sigmoid = loss == "sigmoid"
+    if os.path.exists(path + ".meta.json"):
+        print("train does not accept compressed-graph prefixes; "
+              "decompress first (cli compress decompress <prefix> <dir>)")
+        return 2
     import glob as _glob
 
     if _glob.glob(os.path.join(path, "*.csgr")):
@@ -115,6 +119,14 @@ def cmd_info(argv: list[str]) -> int:
     from graphaibench_tpu.graph.io import load_graph, read_meta
 
     path = resolve_dataset(argv[0])
+    if os.path.exists(path + ".meta.json"):
+        from graphaibench_tpu.compress.cli import decode_any, load_compressed
+
+        g = decode_any(load_compressed(path))
+        deg = g.degrees()
+        print(f"(compressed prefix, decoded) |V| {g.nv} |E| {g.ne}")
+        print(f"max_degree {deg.max()}  avg_degree {deg.mean():.2f}")
+        return 0
     meta = read_meta(path)
     g = load_graph(path, with_vlabels=True, mmap=True)
     deg = g.degrees()

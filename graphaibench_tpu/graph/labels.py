@@ -92,14 +92,11 @@ def labeled_triangle_counts(g: CSRGraph, labels=None) -> dict:
     """
     import jax.numpy as jnp
 
+    from graphaibench_tpu.graph.transforms import dense_adjacency
+
     lab = _labels_of(g, labels)
     L = int(lab.max()) + 1
-    a = np.zeros((g.nv, g.nv), dtype=np.float32)
-    src, dst = g.coo()
-    a[src, dst] = 1.0
-    a[dst, src] = 1.0
-    np.fill_diagonal(a, 0.0)
-    A = jnp.asarray(a)
+    A = jnp.asarray(dense_adjacency(g))
     masks = [jnp.asarray((lab == l).astype(np.float32)) for l in range(L)]
 
     def proj(p, q):  # A restricted to label-p rows / label-q columns

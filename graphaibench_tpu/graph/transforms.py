@@ -194,20 +194,22 @@ def locality_order(g: CSRGraph, method: str = "louvain") -> np.ndarray:
     (graph_partition.cc write_to_file). ``method``: 'louvain' (community
     detection) or 'bfs' (Cuthill-McKee-style frontier order)."""
     if method == "bfs":
+        from collections import deque
+
         order = []
         seen = np.zeros(g.nv, bool)
         for s in np.argsort(-g.degrees()):
             if seen[s]:
                 continue
-            stack = [int(s)]
+            q = deque([int(s)])
             seen[s] = True
-            while stack:
-                v = stack.pop()
+            while q:
+                v = q.popleft()
                 order.append(v)
                 for nb in g.neighbors(v):
                     if not seen[nb]:
                         seen[nb] = True
-                        stack.append(int(nb))
+                        q.append(int(nb))
         old_of_new = np.asarray(order, dtype=np.int64)
     else:
         from graphaibench_tpu.analytics.community import louvain
@@ -217,3 +219,14 @@ def locality_order(g: CSRGraph, method: str = "louvain") -> np.ndarray:
     new_of_old = np.empty(g.nv, dtype=np.int64)
     new_of_old[old_of_new] = np.arange(g.nv)
     return new_of_old
+
+
+def dense_adjacency(g: CSRGraph, dtype=np.float32) -> np.ndarray:
+    """Symmetric 0/1 adjacency with zero diagonal (for dense-MXU
+    solvers: motif counting, labeled triangles, FSM roles)."""
+    a = np.zeros((g.nv, g.nv), dtype=dtype)
+    src, dst = g.coo()
+    a[src, dst] = 1
+    a[dst, src] = 1
+    np.fill_diagonal(a, 0)
+    return a
