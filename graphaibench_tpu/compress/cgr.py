@@ -202,6 +202,16 @@ class CompressedGraph:
 
 
 def encode_graph(g: CSRGraph, cfg: CgrConfig = CgrConfig()) -> CompressedGraph:
+    # CGR's interval + gap-1 residual coding requires sorted, duplicate-
+    # free adjacency (the reference encodes cleaned graphs only;
+    # sort_and_clean provides this). Fail loudly instead of corrupting.
+    if g.ne:
+        src, dst = g.coo()
+        same_row = src[1:] == src[:-1]
+        if (same_row & (dst[1:] <= dst[:-1])).any():
+            raise ValueError(
+                "CGR requires strictly increasing adjacency lists; run "
+                "transforms.sort_and_clean(g) first")
     from graphaibench_tpu import native
     if native.available():
         offsets, data = native.cgr_encode(g.row_ptr, g.col_idx, cfg)

@@ -157,3 +157,41 @@ def test_compressed_prefix_analytics(tmp_path, citeseer):
     prefix = str(tmp_path / "cs_svb")
     save_compressed(encode_graph(citeseer, "streamvbyte"), prefix)
     assert run_benchmark("tc", prefix, []) == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_codec_fuzz_roundtrip(seed, tmp_path):
+    """Random graphs x random codec configs: encode -> decode must be
+    exact, for all schemes, including device decode for streamvbyte."""
+    from graphaibench_tpu.compress import cgr, hybrid, vbyte
+    from graphaibench_tpu.compress.device_decode import decode_graph_device
+    from graphaibench_tpu.graph.csr import from_edges
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(10, 400))
+    ne = int(rng.integers(0, 6 * n))
+    src = rng.integers(0, n, ne)
+    dst = rng.integers(0, n, ne)
+    keep = src != dst
+    from graphaibench_tpu.graph.transforms import sort_and_clean
+
+    g = sort_and_clean(from_edges(
+        np.concatenate([src[keep], dst[keep]]),
+        np.concatenate([dst[keep], src[keep]]), n))
+
+    vg = vbyte.encode_graph(g, "streamvbyte")
+    assert np.array_equal(vbyte.decode_graph(vg).col_idx, g.col_idx)
+    g2 = decode_graph_device(vg)
+    assert np.array_equal(g2.col_idx, g.col_idx)
+    assert np.array_equal(g2.row_ptr, g.row_ptr)
+
+    vg2 = vbyte.encode_graph(g, "varintgb")
+    assert np.array_equal(vbyte.decode_graph(vg2).col_idx, g.col_idx)
+
+    cfg = cgr.CgrConfig(zeta_k=int(rng.integers(1, 5)),
+                        use_interval=bool(rng.integers(0, 2)))
+    cg = cgr.encode_graph(g, cfg)
+    assert np.array_equal(cgr.decode_graph(cg).col_idx, g.col_idx)
+
+    hg = hybrid.encode_graph(g, threshold=int(rng.integers(2, 40)))
+    assert np.array_equal(hybrid.decode_graph(hg).col_idx, g.col_idx)
