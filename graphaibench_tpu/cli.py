@@ -154,6 +154,13 @@ def cmd_info(argv: list[str]) -> int:
 
 
 def main() -> int:
+    # honor JAX_PLATFORMS: the installed TPU plugin force-appends its
+    # platform, so the env var alone is not enough (same pin as
+    # tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if len(sys.argv) < 2:
         print("usage: graphaibench_tpu.cli <train|analytics|compress|info> ...")
         return 2
