@@ -35,21 +35,26 @@ def node2vec_walks(g: CSRGraph, starts: np.ndarray, walk_length: int, *,
     1 to common neighbors of t and v, 1/q otherwise — sampled by
     rejection on the padded neighbor row (all vectorized over walks).
     """
-    nbr, deg = _padded_nbrs(g)
+    nbr_h, deg_h = _padded_nbrs(g)
     sentinel = g.nv + 1
     # sentinel-padded sorted adjacency for membership tests (adjacency
     # lists are stored sorted; padding slots get an id above every vertex)
-    W = nbr.shape[1]
-    pad_mask = np.arange(W, dtype=np.int64)[None, :] >= np.asarray(deg)[:, None]
-    sorted_nbr = jnp.asarray(
-        np.where(pad_mask, sentinel, np.asarray(nbr)).astype(np.int32))
+    W = nbr_h.shape[1]
+    pad_mask = np.arange(W, dtype=np.int64)[None, :] >= np.asarray(deg_h)[:, None]
+    # device-resident walk tables, passed as jit ARGUMENTS (closed-over
+    # arrays are serialized into every remote compile through the device
+    # tunnel — see CLAUDE.md; a large nbr table would blow the request)
+    sorted_nbr_d = jnp.asarray(
+        np.where(pad_mask, sentinel, np.asarray(nbr_h)).astype(np.int32))
+    nbr_d = jnp.asarray(nbr_h)
+    deg_d = jnp.asarray(deg_h)
     key = jax.random.PRNGKey(seed)
     cur = jnp.asarray(np.asarray(starts, dtype=np.int32))
     prev = cur  # no history on the first hop -> uniform
     w_max = max(1.0, 1.0 / p, 1.0 / q)
 
     @jax.jit
-    def step(prev, cur, key):
+    def step(prev, cur, key, nbr, deg, sorted_nbr):
         k1, k2 = jax.random.split(key)
         # up to 8 rejection rounds, batched over all walks
         def body(i, state):
@@ -79,7 +84,7 @@ def node2vec_walks(g: CSRGraph, starts: np.ndarray, walk_length: int, *,
     walks = [cur]
     for _ in range(walk_length):
         key, sub = jax.random.split(key)
-        nxt = step(prev, cur, sub)
+        nxt = step(prev, cur, sub, nbr_d, deg_d, sorted_nbr_d)
         prev, cur = cur, nxt
         walks.append(cur)
     return np.asarray(jnp.stack(walks, axis=1))

@@ -213,7 +213,14 @@ def count_pattern(g: CSRGraph, pattern, *, induced: bool = False) -> int:
     if name not in _PATTERN_EDGES:
         raise ValueError(f"unsupported pattern {name!r}")
     k = p.n
-    counts = induced_motif_counts(g) if induced and k == 4 else motif_counts(g, k)
+    if induced and k == 4:
+        counts = induced_motif_counts(g)
+    else:
+        counts = motif_counts(g, k)
+        if induced and k == 3:
+            # induced wedge = open wedge (triangles are already induced)
+            counts = dict(counts)
+            counts["wedge"] = counts["wedge"] - 3 * counts["triangle"]
     return counts[name]
 
 

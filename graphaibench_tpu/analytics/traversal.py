@@ -91,7 +91,9 @@ def sssp_delta_stepping(
     src, dst = g.edge_src, g.col_idx
     inf = jnp.float32(jnp.inf)
     if delta is None:
-        delta = float(jnp.mean(weights)) + 1e-9
+        # mean of an empty weight array is NaN; any positive delta is
+        # correct on an edgeless graph (only the source settles)
+        delta = float(jnp.mean(weights)) + 1e-9 if weights.size else 1.0
     delta = jnp.float32(delta)
     light = weights <= delta
     max_outer = nv if max_outer is None else max_outer

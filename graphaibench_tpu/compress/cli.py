@@ -1,7 +1,7 @@
 """Compression CLI — parity with the reference compressor
 (src/structure/compressor.cc:258 usage):
 
-    compress <in_dir> <out_prefix> [-s scheme] [-z zeta_k] [-i] [-a align]
+    compress <in_dir> <out_prefix> [-s scheme] [-z zeta_k] [-i] [-a align] [-p]
     decompress <prefix> <out_dir>
     verify <in_dir> <prefix>           (verify_compression.cc semantics)
     info <prefix>                      (query_compressed_graph_info)
@@ -22,12 +22,24 @@ from graphaibench_tpu.compress import cgr, hybrid, vbyte
 from graphaibench_tpu.graph.io import load_graph, save_graph
 
 
-def save_compressed(obj, prefix: str):
+def permute_bytes_by_word(data: bytes) -> bytes:
+    """Reverse the byte order inside each 32-bit word — the reference's
+    ``-p`` flag (Compressor::permutate_bytes_by_word, compressor.cc:117:
+    word-aligned streams are stored big-endian-per-word so a word-at-a-
+    time decoder can shift bits MSB-first). Involution: applying twice
+    restores the stream. Requires a word-aligned (len % 4 == 0) stream."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    assert a.size % 4 == 0, "byte permutation requires a word-aligned stream"
+    return a.reshape(-1, 4)[:, ::-1].tobytes()
+
+
+def save_compressed(obj, prefix: str, *, permuted: bool = False):
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
     obj.offsets.astype(np.int64).tofile(prefix + ".vertex.bin")
+    data = permute_bytes_by_word(obj.data) if permuted else obj.data
     with open(prefix + ".edge.bin", "wb") as f:
-        f.write(obj.data)
-    meta = {"nv": obj.nv, "ne": obj.ne}
+        f.write(data)
+    meta = {"nv": obj.nv, "ne": obj.ne, "permuted": bool(permuted)}
     if isinstance(obj, cgr.CompressedGraph):
         meta.update(scheme="cgr", **{
             k: getattr(obj.cfg, k)
@@ -51,6 +63,8 @@ def load_compressed(prefix: str):
     offsets = np.fromfile(prefix + ".vertex.bin", dtype=np.int64)
     with open(prefix + ".edge.bin", "rb") as f:
         data = f.read()
+    if meta.get("permuted"):
+        data = permute_bytes_by_word(data)  # involution: undo on load
     scheme = meta["scheme"]
     if scheme == "cgr":
         cfg = cgr.CgrConfig(
@@ -74,9 +88,13 @@ def load_compressed(prefix: str):
 
 def compress_cmd(in_dir: str, prefix: str, scheme: str = "cgr", *,
                  zeta_k: int = 2, use_interval: bool = False,
-                 alignment: str = "bit", threshold: int = 32):
+                 alignment: str = "bit", threshold: int = 32,
+                 permuted: bool = False):
     g = load_graph(in_dir)
     if scheme == "cgr":
+        if permuted and alignment != "word":
+            raise SystemExit("-p requires word alignment (-a word), like the "
+                             "reference compressor (compressor.cc:109)")
         obj = cgr.encode_graph(g, cgr.CgrConfig(
             zeta_k=zeta_k, use_interval=use_interval, alignment=alignment))
     elif scheme in ("streamvbyte", "varintgb"):
@@ -85,7 +103,10 @@ def compress_cmd(in_dir: str, prefix: str, scheme: str = "cgr", *,
         obj = hybrid.encode_graph(g, threshold=threshold, zeta_k=zeta_k)
     else:
         raise SystemExit(f"unknown scheme {scheme!r}")
-    save_compressed(obj, prefix)
+    if permuted and len(obj.data) % 4 != 0:
+        raise SystemExit("-p requires a word-aligned stream "
+                         f"(got {len(obj.data)} bytes)")
+    save_compressed(obj, prefix, permuted=permuted)
     print(f"|V| {obj.nv} |E| {obj.ne} compressed_bytes {len(obj.data)} "
           f"ratio {obj.compression_ratio():.2f}x")
     return obj
@@ -147,6 +168,8 @@ def main(argv: list[str]) -> int:
                 opts["alignment"] = rest[i + 1]; i += 2
             elif a == "-t":
                 opts["threshold"] = int(rest[i + 1]); i += 2
+            elif a == "-p":
+                opts["permuted"] = True; i += 1
             else:
                 pos.append(a); i += 1
         scheme = opts.pop("scheme", "cgr")

@@ -104,6 +104,30 @@ class Momentum:
         return new, MomentumState(dw_prev=vel)
 
 
+@dataclasses.dataclass(frozen=True)
+class Nesterov:
+    """nesterov_momentum (optimizer.cpp:66-74):
+    V = mu*Vprev - lr*(dW + W*lambda); W += -mu*Vprev + (1+mu)*V."""
+
+    lr: float = 0.01
+    mu: float = 0.9
+    weight_decay: float = 0.0
+
+    def init(self, params) -> MomentumState:
+        return MomentumState(dw_prev=jax.tree.map(jnp.zeros_like, params))
+
+    def update(self, grads, state: MomentumState, params):
+        vel = jax.tree.map(
+            lambda v, g, w: self.mu * v - self.lr * (g + w * self.weight_decay),
+            state.dw_prev, grads, params,
+        )
+        new = jax.tree.map(
+            lambda w, vp, v: w - self.mu * vp + (1 + self.mu) * v,
+            params, state.dw_prev, vel,
+        )
+        return new, MomentumState(dw_prev=vel)
+
+
 class AdagradState(NamedTuple):
     g2: Any
 
@@ -192,6 +216,7 @@ OPTIMIZERS = {
     "adam": Adam,
     "sgd": SGD,
     "momentum": Momentum,
+    "nesterov": Nesterov,
     "adagrad": Adagrad,
     "rmsprop": RMSprop,
     "adamax": Adamax,

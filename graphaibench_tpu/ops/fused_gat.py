@@ -84,7 +84,8 @@ def gat_attention_spmm(g: DeviceGraph, logits: jnp.ndarray,
                        edge_w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """out = A(softmax_row(logits) * edge_w) @ x, fused over ELL buckets.
 
-    edge_w is treated as a constant validity mask (no gradient)."""
+    Fully differentiable in logits, edge_w, and x (edge_w's cotangent is
+    softmax(logits) * <ct[src], x[dst]>, matching the unfused path)."""
     m, z = _norm_consts(g, logits)
     return _fused_fwd_pass(g, logits, edge_w, x, m, z)
 
@@ -111,15 +112,19 @@ def _bwd(res, ct):
     # dx: adjoint aggregation = same topology, transpose-permuted weights
     assert g.has_transpose
     dx = spmm_ell(g, s[g.trans_perm], ct)
-    # d(scores*ew): per-edge <ct[src], x[dst]>
-    dsw = sddmm_dot(g, ct, x) * edge_w
+    # per-edge <ct[src], x[dst]> feeds both the edge_w cotangent and the
+    # softmax adjoint (matching the unfused segment_softmax path, so
+    # gradient semantics don't depend on which implementation dispatches)
+    raw = sddmm_dot(g, ct, x)
+    dew = s_soft * raw
+    dsw = raw * edge_w
     # softmax adjoint: dl = s * (dsw - rowsum(s*dsw)) with the row sum
     # computed by a streaming ELL pass
     inner = _row_reduce_ell(g, s_soft * dsw, "sum")
     dl = s_soft * (dsw - inner[g.edge_src])
     from graphaibench_tpu.ops.spmm import _zero_cotangent
 
-    return (_zero_cotangent(g), dl, jnp.zeros_like(edge_w), dx)
+    return (_zero_cotangent(g), dl, dew, dx)
 
 
 gat_attention_spmm.defvjp(_fwd, _bwd)

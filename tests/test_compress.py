@@ -116,6 +116,31 @@ def test_cli_roundtrip(tmp_path, scheme):
     np.testing.assert_array_equal(g.col_idx, ref.col_idx)
 
 
+def test_cli_permuted_roundtrip(tmp_path):
+    """-p byte-permutation flag (compressor.cc:117 permutate_bytes_by_word):
+    word-aligned CGR stream stored with reversed bytes per 32-bit word;
+    verify/decompress must still reproduce the graph exactly."""
+    from graphaibench_tpu.compress.cli import permute_bytes_by_word
+
+    raw = bytes(range(8))
+    assert permute_bytes_by_word(raw) == bytes([3, 2, 1, 0, 7, 6, 5, 4])
+    assert permute_bytes_by_word(permute_bytes_by_word(raw)) == raw
+
+    prefix = str(tmp_path / "perm/g")
+    compress_cmd(fixture_path("tester"), prefix, "cgr",
+                 alignment="word", permuted=True)
+    assert verify_cmd(fixture_path("tester"), prefix)
+    g = decompress_cmd(prefix, str(tmp_path / "perm_out"))
+    ref = load_graph(fixture_path("tester"))
+    np.testing.assert_array_equal(g.col_idx, ref.col_idx)
+    # the on-disk stream is actually permuted (differs from unpermuted)
+    plain = str(tmp_path / "plain/g")
+    compress_cmd(fixture_path("tester"), plain, "cgr", alignment="word")
+    b_perm = open(prefix + ".edge.bin", "rb").read()
+    b_plain = open(plain + ".edge.bin", "rb").read()
+    assert b_perm != b_plain and permute_bytes_by_word(b_perm) == b_plain
+
+
 def test_streamvbyte_device_decode(citeseer):
     """TPU-side decode (compress/device_decode.py) must reproduce the
     host codec bit-for-bit, including the citeseer triangle golden."""

@@ -155,6 +155,25 @@ def test_adam_matches_oracle():
     np.testing.assert_allclose(np.asarray(params["w"]), wref, rtol=1e-4, atol=1e-6)
 
 
+def test_nesterov_matches_oracle():
+    """Serial re-execution of the reference rule (optimizer.cpp:66-74):
+    V = mu*Vprev - lr*(dW + W*lambda); W += -mu*Vprev + (1+mu)*V."""
+    from graphaibench_tpu.nn.optim import Nesterov
+    w = np.random.default_rng(1).standard_normal((4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(w)}
+    opt = Nesterov(lr=0.05, mu=0.9, weight_decay=0.01)
+    st = opt.init(params)
+    wref = w.astype(np.float64).copy()
+    vprev = np.zeros_like(wref)
+    for i in range(5):
+        g = np.sin(wref + i)
+        params, st = opt.update({"w": jnp.asarray(g.astype(np.float32))}, st, params)
+        v = 0.9 * vprev - 0.05 * (g + wref * 0.01)
+        wref += -0.9 * vprev + 1.9 * v
+        vprev = v
+    np.testing.assert_allclose(np.asarray(params["w"]), wref, rtol=1e-4, atol=1e-6)
+
+
 def test_sigmoid_multilabel_training():
     g, feats, labels, mask = make_toy()
     ncls = 4
