@@ -112,6 +112,18 @@ class DeviceGraph:
         return self.trans_perm is not None
 
 
+def all_buckets(g: DeviceGraph) -> tuple:
+    """Every ELL bucket of ``g`` regardless of layout. Row reductions
+    (per-edge values -> per-row scalars) are oblivious to column
+    segmentation, so seg-ELL-only graphs (the sharded trainer's local
+    graphs at large scale) reduce over the flattened segment buckets."""
+    if g.ell:
+        return g.ell
+    if g.seg_ell is not None:
+        return tuple(b for seg in g.seg_ell.segs for b in seg)
+    return ()
+
+
 # Width grid + heavy-row splitting, tuned on real TPU hardware with a
 # CHAINED benchmark (spmm output feeds the next iteration's input, like
 # real GNN layers — independent-iteration loops overlap across steps and
@@ -146,11 +158,14 @@ def _virtual_rows(targets, counts, starts, split):
     return vt[keep], vs[keep], vl[keep]
 
 
-def _pack_buckets(vr_t, vr_s, vr_l, col, edge_ids, ne, widths):
+def _pack_buckets(vr_t, vr_s, vr_l, col, edge_ids, ne, widths,
+                  as_numpy: bool = False):
     """Width-bucket virtual rows and pack padded (R, W) matrices.
     ``col[pos]`` supplies neighbor ids, ``edge_ids[pos]`` global edge
-    ids (None means identity)."""
+    ids (None means identity). ``as_numpy`` keeps arrays on host (for
+    shard builders that stack + device_put with explicit shardings)."""
     buckets: list[EllBucket] = []
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     for wi, w in enumerate(widths):
         lo = widths[wi - 1] if wi > 0 else 0
         sel = (vr_l > lo) & (vr_l <= w)
@@ -164,10 +179,42 @@ def _pack_buckets(vr_t, vr_s, vr_l, col, edge_ids, ne, widths):
         raw_eid = pos_c if edge_ids is None else edge_ids[pos_c]
         eid = np.where(in_row, raw_eid, ne).astype(np.int32)
         buckets.append(
-            EllBucket(row_ids=jnp.asarray(rows.astype(np.int32)),
-                      nbr=jnp.asarray(nbr), edge_id=jnp.asarray(eid),
+            EllBucket(row_ids=conv(rows.astype(np.int32)),
+                      nbr=conv(nbr), edge_id=conv(eid),
                       width=w))
     return buckets
+
+
+def _widths_for_split(split: int) -> list[int]:
+    return ([w for w in _WIDTH_GRID if w < split] + [split]
+            if split >= _WIDTH_GRID[0] else [split])
+
+
+def ell_from_coo(rows: np.ndarray, cols: np.ndarray, eids: np.ndarray,
+                 sentinel: int, split: Optional[int] = None,
+                 as_numpy: bool = False) -> list[EllBucket]:
+    """Pack an arbitrary COO edge list into degree-bucketed ELL with
+    heavy-row splitting. ``rows`` need not be sorted (stable-sorted
+    here, preserving CSR order within a row); ``eids[k]`` is the index
+    into the per-edge value array the consumer will gather from, with
+    ``sentinel`` marking the zero padding slot. Used by the sharded
+    trainer to build per-shard forward (group by local row) and
+    transpose (group by extended column) layouts — the transpose built
+    once on host replaces autodiff's big scatter, like trans_perm does
+    for the single-chip path (gat_aggregator.cu:88-92 analog)."""
+    split = split or ELL_SPLIT
+    if len(rows) == 0:
+        return []
+    order = np.argsort(rows, kind="stable")
+    r = np.asarray(rows)[order]
+    c = np.asarray(cols)[order]
+    e = np.asarray(eids)[order]
+    uniq, counts = np.unique(r, return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    vr_t, vr_s, vr_l = _virtual_rows(uniq.astype(np.int32), counts, starts,
+                                     split)
+    return _pack_buckets(vr_t, vr_s, vr_l, c, e, sentinel,
+                         _widths_for_split(split), as_numpy=as_numpy)
 
 
 def build_ell_buckets(g: CSRGraph, split: Optional[int] = None) -> list[EllBucket]:
@@ -180,8 +227,7 @@ def build_ell_buckets(g: CSRGraph, split: Optional[int] = None) -> list[EllBucke
     if g.nv == 0 or g.ne == 0:
         return []
     split = split or ELL_SPLIT
-    widths = [w for w in _WIDTH_GRID if w < split] + [split] \
-        if split >= _WIDTH_GRID[0] else [split]
+    widths = _widths_for_split(split)
     deg = g.degrees().astype(np.int64)
     vr_t, vr_s, vr_l = _virtual_rows(
         np.arange(g.nv, dtype=np.int32), deg, g.row_ptr[:-1], split)
@@ -200,8 +246,7 @@ def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
     """Column-segmented ELL build: edges grouped by neighbor range,
     neighbor ids reindexed to the local slice."""
     split = split or ELL_SPLIT
-    widths = [w for w in _WIDTH_GRID if w < split] + [split] \
-        if split >= _WIDTH_GRID[0] else [split]
+    widths = _widths_for_split(split)
     src, dst = g.coo()
     ne = g.ne
     bounds, segs = [], []

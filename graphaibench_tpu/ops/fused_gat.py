@@ -64,9 +64,11 @@ def _fused_fwd_pass(g: DeviceGraph, logits, edge_w, x, m, z):
 def _row_denom_ell(g: DeviceGraph, logits, m):
     """rowsum(exp(l - m[row])) as a streaming bucket pass (row-indexed m,
     no (ne,)-sized broadcast gather)."""
+    from graphaibench_tpu.ops.device_graph import all_buckets
+
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     out = jnp.zeros((g.nv,), logits.dtype)
-    for b in g.ell:
+    for b in all_buckets(g):
         eb = jnp.exp(l_pad[b.edge_id] - m[b.row_ids][:, None])
         out = out.at[b.row_ids].add(eb.sum(axis=1))
     return out

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.ops.device_graph import DeviceGraph, all_buckets
 
 
 def _row_reduce_ell(g: DeviceGraph, vals: jnp.ndarray, kind: str) -> jnp.ndarray:
@@ -24,7 +24,7 @@ def _row_reduce_ell(g: DeviceGraph, vals: jnp.ndarray, kind: str) -> jnp.ndarray
         pad_val, init = 0.0, jnp.zeros((g.nv,), vals.dtype)
     v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
     out = init
-    for b in g.ell:
+    for b in all_buckets(g):
         vb = v_pad[b.edge_id]                   # (R, W)
         if kind == "max":
             out = out.at[b.row_ids].max(vb.max(axis=1))

@@ -1,0 +1,294 @@
+"""Stacked per-shard ELL layouts + slot-space kernels for the sharded
+trainer.
+
+Round 1 measured that ``jax.ops.segment_sum``/``segment_max`` big
+scatters lose badly to degree-bucketed ELL reductions (CLAUDE.md), yet
+the multi-chip trainer — the north-star scaling path — still ran on
+them.  This module brings the tuned ELL machinery to the sharded world:
+
+  * Each shard's local edge list (local row -> extended-local col, see
+    ``parallel.partition``) is packed into degree-bucketed ELL on host,
+    BOTH ways: a forward layout grouped by local row and a transpose
+    layout grouped by extended-local column.  The transpose built once
+    on host replaces autodiff's big scatter in the backward pass — the
+    same trick ``DeviceGraph.trans_perm`` plays for the single-chip
+    path (reference analog: cuSPARSE csr2csc per step,
+    gat_aggregator.cu:88-92, hoisted to preprocessing).
+  * Because shard_map needs identical array shapes on every shard, the
+    per-shard bucket lists are padded to a common (R, W) grid and
+    stacked with a leading [P] axis (``ShardEll``); padding rows carry
+    the sentinel edge id so they gather weight 0 and contribute nothing.
+  * The local kernels (``slot_spmm``, ``slot_sddmm_add``,
+    ``gat_fused_local``) mirror ops.spmm / ops.fused_gat but operate on
+    a RECTANGULAR local graph: nv_pad output rows x (nv_pad + h_max)
+    input rows.  That asymmetry is why the single-chip custom VJPs
+    (which assume structural symmetry) cannot be reused directly.
+
+Per-edge values live in "slot space": arrays of length e_max indexed by
+the shard's edge slot, with slot e_max acting as the zero/neutral
+sentinel (so each kernel pads value arrays by one element before
+gathering by bucket edge ids).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphaibench_tpu.ops.device_graph import EllBucket, ell_from_coo
+from graphaibench_tpu.ops.spmm import _zero_cotangent, bucket_row_chunks
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardEll:
+    """Stacked ELL layouts of all shards' local graphs. Every array has
+    a leading shard axis [P] so the structure shards along the mesh
+    axis; strip it inside shard_map with ``local_shard_ell``."""
+
+    fwd: tuple    # tuple[EllBucket, ...] rows = local rows [0, nv_pad)
+    trans: tuple  # tuple[EllBucket, ...] rows = ext-local cols [0, nv_pad+h_max)
+
+    def tree_flatten(self):
+        return (self.fwd, self.trans), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(fwd=children[0], trans=children[1])
+
+
+def local_shard_ell(se: ShardEll) -> ShardEll:
+    """Strip the leading length-1 block axis shard_map hands each shard."""
+    return jax.tree.map(lambda a: a[0], se)
+
+
+def shard_ell_specs(se: ShardEll, axis: str):
+    """PartitionSpec pytree sharding every leaf along its leading axis."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree.map(lambda a: P(axis, *([None] * (a.ndim - 1))), se)
+
+
+def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
+    """Pad per-shard bucket lists to common shapes and stack on a new
+    leading [P] axis. Widths absent on a shard become all-padding rows
+    (row id 0, edge id = sentinel -> zero contribution)."""
+    widths = sorted({b.width for bl in bucket_lists for b in bl})
+    out = []
+    for w in widths:
+        per = [next((b for b in bl if b.width == w), None)
+               for bl in bucket_lists]
+        rmax = max((b.row_ids.shape[0] for b in per if b is not None),
+                   default=0)
+        rmax = max(rmax, 1)
+        row = np.zeros((num_shards, rmax), np.int32)
+        nbr = np.zeros((num_shards, rmax, w), np.int32)
+        eid = np.full((num_shards, rmax, w), sentinel, np.int32)
+        for p, b in enumerate(per):
+            if b is None:
+                continue
+            r = b.row_ids.shape[0]
+            row[p, :r] = b.row_ids
+            nbr[p, :r] = b.nbr
+            eid[p, :r] = b.edge_id
+        out.append(EllBucket(row_ids=row, nbr=nbr, edge_id=eid, width=w))
+    return tuple(out)
+
+
+def build_shard_ell(sg, split: Optional[int] = None) -> ShardEll:
+    """Build both stacked layouts from a host ShardedGraph. The edge-id
+    space of shard p is its slot index [0, e_max) with sentinel e_max,
+    matching the per-shard edge arrays the trainer already ships."""
+    P, e_max = sg.num_shards, sg.e_max
+    fwd_lists, trans_lists = [], []
+    for p in range(P):
+        n_e = int(sg.edge_valid[p].sum())
+        rows = sg.edge_src[p, :n_e].astype(np.int64)
+        cols = sg.col_idx[p, :n_e].astype(np.int64)
+        eids = np.arange(n_e, dtype=np.int64)
+        fwd_lists.append(
+            ell_from_coo(rows, cols, eids, e_max, split, as_numpy=True))
+        trans_lists.append(
+            ell_from_coo(cols, rows, eids, e_max, split, as_numpy=True))
+    return ShardEll(fwd=_stack_bucket_lists(fwd_lists, P, e_max),
+                    trans=_stack_bucket_lists(trans_lists, P, e_max))
+
+
+# ---------------------------------------------------------------------------
+# slot-space kernels (run INSIDE shard_map on a stripped ShardEll)
+# ---------------------------------------------------------------------------
+
+
+def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
+                   kind: str) -> jnp.ndarray:
+    """Per-row reduction of slot values over a bucket tuple — the
+    rectangular generalization of ops.segment._row_reduce_ell."""
+    if kind == "max":
+        pad_val, init = -jnp.inf, jnp.full((n_rows,), -jnp.inf, vals.dtype)
+    else:
+        pad_val, init = 0.0, jnp.zeros((n_rows,), vals.dtype)
+    v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
+    out = init
+    for b in buckets:
+        vb = v_pad[b.edge_id]
+        if kind == "max":
+            out = out.at[b.row_ids].max(vb.max(axis=1))
+        else:
+            out = out.at[b.row_ids].add(vb.sum(axis=1))
+    return out
+
+
+def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
+               n_out: int) -> jnp.ndarray:
+    """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``
+    already carries the sentinel zero slot."""
+    out = jnp.zeros((n_out, x.shape[1]), x.dtype)
+    for b in buckets:
+        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+            whole = (lo, hi) == (0, b.nbr.shape[0])
+            rows = b.row_ids if whole else b.row_ids[lo:hi]
+            eid = b.edge_id if whole else b.edge_id[lo:hi]
+            nbr = b.nbr if whole else b.nbr[lo:hi]
+            out = out.at[rows].add(
+                jnp.einsum("rw,rwf->rf", w_pad[eid], x[nbr]))
+    return out
+
+
+def _slot_sddmm_dot(ct: jnp.ndarray, x: jnp.ndarray, edge_src, col_idx):
+    """Per-slot <ct[src], x[col]> (the weight-gradient SDDMM), chunked so
+    the materialized gathers stay ~<1 GB."""
+    e = edge_src.shape[0]
+    f = max(ct.shape[1], 1)
+    step = max(1, (1 << 28) // f)
+    if e <= step:
+        return jnp.einsum("ef,ef->e", ct[edge_src], x[col_idx])
+    parts = [
+        jnp.einsum("ef,ef->e", ct[edge_src[lo:lo + step]],
+                   x[col_idx[lo:lo + step]])
+        for lo in range(0, e, step)
+    ]
+    return jnp.concatenate(parts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def slot_spmm(n_out: int, se: ShardEll, w: jnp.ndarray, x: jnp.ndarray,
+              edge_src: jnp.ndarray, col_idx: jnp.ndarray,
+              valid: jnp.ndarray) -> jnp.ndarray:
+    """Rectangular sharded SpMM: out[r] = sum over local edges (r -> c)
+    of w[slot] * x[c], streaming through the forward ELL buckets.
+    Differentiable in ``w`` and ``x``; the x-adjoint streams through the
+    transpose buckets instead of autodiff's (e_max,)-scatter."""
+    w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+    return _ell_apply(se.fwd, w_pad, x, n_out)
+
+
+def _slot_spmm_fwd(n_out, se, w, x, edge_src, col_idx, valid):
+    return slot_spmm(n_out, se, w, x, edge_src, col_idx, valid), (
+        se, w, x, edge_src, col_idx, valid)
+
+
+def _slot_spmm_bwd(n_out, res, ct):
+    se, w, x, edge_src, col_idx, valid = res
+    w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+    dx = _ell_apply(se.trans, w_pad, ct, x.shape[0])
+    dw = jnp.where(valid, _slot_sddmm_dot(ct, x, edge_src, col_idx), 0.0)
+    return (_zero_cotangent(se), dw, dx, _zero_cotangent(edge_src),
+            _zero_cotangent(col_idx), _zero_cotangent(valid))
+
+
+slot_spmm.defvjp(_slot_spmm_fwd, _slot_spmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def slot_sddmm_add(n_out: int, n_ext: int, se: ShardEll, sa: jnp.ndarray,
+                   sb: jnp.ndarray, edge_src: jnp.ndarray,
+                   col_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot sa[src] + sb[col] (GAT rank-1 logits). The adjoint row
+    sums stream through the ELL buckets (fwd for sa, transpose for sb)
+    instead of (e_max,)-sized segment scatters."""
+    return sa[edge_src] + sb[col_idx]
+
+
+def _slot_sddmm_add_fwd(n_out, n_ext, se, sa, sb, edge_src, col_idx):
+    return sa[edge_src] + sb[col_idx], (se, edge_src, col_idx)
+
+
+def _slot_sddmm_add_bwd(n_out, n_ext, res, ct):
+    se, edge_src, col_idx = res
+    dsa = ell_row_reduce(se.fwd, ct, n_out, "sum")
+    dsb = ell_row_reduce(se.trans, ct, n_ext, "sum")
+    return (_zero_cotangent(se), dsa, dsb, _zero_cotangent(edge_src),
+            _zero_cotangent(col_idx))
+
+
+slot_sddmm_add.defvjp(_slot_sddmm_add_fwd, _slot_sddmm_add_bwd)
+
+
+def _norm_consts_local(se: ShardEll, logits, n_out):
+    m = ell_row_reduce(se.fwd, logits, n_out, "max")
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
+    denom = jnp.zeros((n_out,), logits.dtype)
+    for b in se.fwd:
+        eb = jnp.exp(l_pad[b.edge_id] - m[b.row_ids][:, None])
+        denom = denom.at[b.row_ids].add(eb.sum(axis=1))
+    z = 1.0 / jnp.maximum(denom, 1e-38)
+    return m, z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gat_fused_local(n_out: int, se: ShardEll, logits: jnp.ndarray,
+                    x: jnp.ndarray, edge_src: jnp.ndarray,
+                    col_idx: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Fused per-shard GAT: out = A(softmax_row(logits)) @ x over the
+    rectangular local graph, the sharded twin of ops.fused_gat. Edge
+    validity is structural (padded slots never appear in the buckets),
+    so no separate mask weight is needed on the forward path."""
+    m, z = _norm_consts_local(se, logits, n_out)
+    return _gat_fwd_pass(se, logits, x, m, z, n_out)
+
+
+def _gat_fwd_pass(se, logits, x, m, z, n_out):
+    l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
+    out = jnp.zeros((n_out, x.shape[1]), x.dtype)
+    for b in se.fwd:
+        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+            whole = (lo, hi) == (0, b.nbr.shape[0])
+            rows = b.row_ids if whole else b.row_ids[lo:hi]
+            eid = b.edge_id if whole else b.edge_id[lo:hi]
+            nbr = b.nbr if whole else b.nbr[lo:hi]
+            sb = jnp.exp(l_pad[eid] - m[rows][:, None]) * z[rows][:, None]
+            out = out.at[rows].add(jnp.einsum("rw,rwf->rf", sb, x[nbr]))
+    return out
+
+
+def _gat_fused_fwd(n_out, se, logits, x, edge_src, col_idx, valid):
+    m, z = _norm_consts_local(se, logits, n_out)
+    y = _gat_fwd_pass(se, logits, x, m, z, n_out)
+    return y, (se, logits, x, edge_src, col_idx, valid, m, z)
+
+
+def _gat_fused_bwd(n_out, res, ct):
+    se, logits, x, edge_src, col_idx, valid, m, z = res
+    # materialize softmax scores once (packed row gather: (n,2) rows cost
+    # the same as scalars on the row-rate-bound gather engine)
+    mz = jnp.stack([m, z], axis=1)[edge_src]          # (e_max, 2)
+    s_soft = jnp.exp(logits - mz[:, 0]) * mz[:, 1]
+    s_soft = jnp.where(valid, s_soft, 0.0)            # kill garbage slots
+    s_pad = jnp.concatenate([s_soft, jnp.zeros((1,), s_soft.dtype)])
+    # dx: adjoint aggregation through the transpose buckets
+    dx = _ell_apply(se.trans, s_pad, ct, x.shape[0])
+    # softmax adjoint: dl = s * (raw - rowsum(s * raw))
+    raw = _slot_sddmm_dot(ct, x, edge_src, col_idx)
+    inner = ell_row_reduce(se.fwd, s_soft * raw, n_out, "sum")
+    dl = s_soft * (raw - inner[edge_src])
+    return (_zero_cotangent(se), dl, dx, _zero_cotangent(edge_src),
+            _zero_cotangent(col_idx), _zero_cotangent(valid))
+
+
+gat_fused_local.defvjp(_gat_fused_fwd, _gat_fused_bwd)

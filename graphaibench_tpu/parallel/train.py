@@ -26,6 +26,15 @@ from graphaibench_tpu.nn import optim
 from graphaibench_tpu.ops import math as gmath
 from graphaibench_tpu.parallel.halo import AXIS, halo_exchange, sharded_spmm_local
 from graphaibench_tpu.parallel.partition import ShardedGraph, pad_rows
+from graphaibench_tpu.parallel.shard_ell import (
+    ShardEll,
+    build_shard_ell,
+    gat_fused_local,
+    local_shard_ell,
+    shard_ell_specs,
+    slot_sddmm_add,
+    slot_spmm,
+)
 
 
 def _local_segment_softmax(edge_src, logits, valid, nv_pad):
@@ -40,9 +49,14 @@ def _local_segment_softmax(edge_src, logits, valid, nv_pad):
     return e / jnp.maximum(denom[edge_src], 1e-30)
 
 
-def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS):
+def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
+                         se: ShardEll | None = None):
     """Per-shard forward of the gconv stack. ``ga`` holds this shard's
-    graph arrays (leading axis already stripped)."""
+    graph arrays (leading axis already stripped). With ``se`` (the
+    stripped per-shard ELL layouts) the aggregation, GAT logits, and GAT
+    softmax all run on the tuned degree-bucketed kernels instead of
+    gather+segment_sum/max (CLAUDE.md: the segment scatters are the
+    measured-slow primitive on TPU)."""
     nv_pad = x_own.shape[0]
 
     def exchange(h):
@@ -50,6 +64,9 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS):
         return jnp.concatenate([h, halo], axis=0)
 
     def aggregate_w(h_ext, w):
+        if se is not None and se.fwd:
+            return slot_spmm(nv_pad, se, w, h_ext, ga["edge_src"],
+                             ga["col_idx"], ga["edge_valid"])
         return sharded_spmm_local(ga["edge_src"], ga["col_idx"], w,
                                   h_ext, nv_pad)
 
@@ -66,12 +83,21 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS):
             t_ext = exchange(t)
             sl = t @ p["alpha_l"]                  # (nv_pad,)
             sr = t_ext @ p["alpha_r"]              # (nv_pad + h_max,)
-            logits = sl[ga["edge_src"]] + sr[ga["col_idx"]]
-            logits = jnp.where(logits > 0, logits, 0.2 * logits)
-            scores = _local_segment_softmax(
-                ga["edge_src"], logits, ga["edge_valid"], nv_pad
-            )
-            out = aggregate_w(t_ext, scores)
+            if se is not None and se.fwd:
+                nv_ext = t_ext.shape[0]
+                logits = slot_sddmm_add(nv_pad, nv_ext, se, sl, sr,
+                                        ga["edge_src"], ga["col_idx"])
+                logits = jnp.where(logits > 0, logits, 0.2 * logits)
+                out = gat_fused_local(nv_pad, se, logits, t_ext,
+                                      ga["edge_src"], ga["col_idx"],
+                                      ga["edge_valid"])
+            else:
+                logits = sl[ga["edge_src"]] + sr[ga["col_idx"]]
+                logits = jnp.where(logits > 0, logits, 0.2 * logits)
+                scores = _local_segment_softmax(
+                    ga["edge_src"], logits, ga["edge_valid"], nv_pad
+                )
+                out = aggregate_w(t_ext, scores)
         elif din > dout:
             t = jnp.dot(h, p["W_neigh"], precision=jax.lax.Precision.HIGHEST)
             out = aggregate(t)
@@ -111,6 +137,7 @@ def make_sharded_trainer(
     *,
     optimizer: str = "adam",
     axis: str = AXIS,
+    use_ell: bool = True,
 ) -> ShardedTrainer:
     begin, end, _count = train_range
     nv, nv_total = sg.nv, sg.padded_nv
@@ -138,6 +165,13 @@ def make_sharded_trainer(
     }
     opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
 
+    # per-shard ELL layouts (empty ShardEll = fall back to segment ops)
+    se_host = build_shard_ell(sg) if use_ell else ShardEll((), ())
+    se_spec = shard_ell_specs(se_host, axis)
+    se_dev = jax.tree.map(
+        lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
+        se_host, se_spec)
+
     def _strip(ga):
         return {
             "edge_src": ga["edge_src"][0],
@@ -148,8 +182,9 @@ def make_sharded_trainer(
             "halo_map": ga["halo_map"][0],
         }
 
-    def local_loss(params, x_own, lab_own, valid_own, ga):
-        logits = _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis)
+    def local_loss(params, x_own, lab_own, valid_own, ga, se):
+        logits = _local_gconv_forward(cfg, params, _strip(ga), x_own,
+                                      axis=axis, se=se)
         probs = jax.nn.softmax(logits, axis=-1)
         onehot = jax.nn.one_hot(lab_own, logits.shape[-1], dtype=logits.dtype)
         ce = gmath.cross_entropy(onehot, probs)
@@ -158,11 +193,11 @@ def make_sharded_trainer(
         # reference gradient scaling: / (end - begin)
         return total / max(end - begin, 1)
 
-    def local_step(params, opt_state, x_own, lab_own, valid_own, *ga_flat):
+    def local_step(params, opt_state, x_own, lab_own, valid_own, se, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         loss, grads = jax.value_and_grad(local_loss)(
-            params, x_own, lab_own, valid_own, ga
+            params, x_own, lab_own, valid_own, ga, local_shard_ell(se)
         )
         grads = jax.lax.psum(grads, axis)
         new_params, new_opt = opt.update(grads, opt_state, params)
@@ -176,34 +211,36 @@ def make_sharded_trainer(
     step_sm = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P(axis)) + ga_specs,
+        in_specs=(P(), P(), P(axis, None), P(axis), P(axis), se_spec)
+        + ga_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def train_step(params, opt_state):
-        return step_sm(params, opt_state, x_d, lab_d, valid_d,
+        return step_sm(params, opt_state, x_d, lab_d, valid_d, se_dev,
                        graph_arrays["edge_src"], graph_arrays["col_idx"],
                        graph_arrays["edge_w"], graph_arrays["edge_valid"],
                        graph_arrays["send_idx"], graph_arrays["halo_map"])
 
-    def local_logits(params, x_own, *ga_flat):
+    def local_logits(params, x_own, se, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
-        return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis)
+        return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis,
+                                    se=local_shard_ell(se))
 
     logits_sm = jax.shard_map(
         local_logits,
         mesh=mesh,
-        in_specs=(P(), P(axis, None)) + ga_specs,
+        in_specs=(P(), P(axis, None), se_spec) + ga_specs,
         out_specs=P(axis, None),
         check_vma=False,
     )
 
     @jax.jit
     def eval_logits(params):
-        out = logits_sm(params, x_d,
+        out = logits_sm(params, x_d, se_dev,
                         graph_arrays["edge_src"], graph_arrays["col_idx"],
                         graph_arrays["edge_w"], graph_arrays["edge_valid"],
                         graph_arrays["send_idx"], graph_arrays["halo_map"])
