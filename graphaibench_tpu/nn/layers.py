@@ -120,7 +120,7 @@ def _maybe_dropout(x, rate, train, key):
     return x
 
 
-def gcn_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key):
+def gcn_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key, trivial_w=False):
     """gcn_layer.cpp:5-28 with the y>z order optimization."""
     x = _maybe_dropout(x, cfg.feat_drop, train, key)
     y, z = x.shape[1], p["W_neigh"].shape[1]
@@ -133,7 +133,7 @@ def gcn_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key):
     return jax.nn.relu(out) if act else out
 
 
-def sage_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key):
+def sage_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key, trivial_w=False):
     """sage_layer.cpp:5-25: mean-aggregated neighbor path + separate
     self path, summed (the 'concat' accumulate-GEMM)."""
     x = _maybe_dropout(x, cfg.feat_drop, train, key)
@@ -149,7 +149,7 @@ def sage_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key):
 
 
 def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
-                  return_scores=False):
+                  return_scores=False, trivial_w=False):
     """gat_layer.cpp:3-22 + gat_aggregator.cpp:57-102: project, rank-1
     edge logits a_l.h_src + a_r.h_dst, LeakyReLU(0.2), softmax over each
     source vertex's edge list, score-weighted aggregation."""
@@ -157,7 +157,6 @@ def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
     h = matmul(x, p["W_neigh"])
     sl = h @ p["alpha_l"]
     sr = h @ p["alpha_r"]
-    logits = gmath.leaky_relu(sddmm_add(dg, sl, sr), 0.2)
     # edge_w is 1 for ordinary graphs (reference semantics); for padded
     # sampled subgraphs it is the edge-validity mask zeroing fake edges
     needs_scores = return_scores or (
@@ -166,10 +165,19 @@ def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
 
     if dg.ell and not needs_scores and _pick_impl(dg, cfg.spmm_impl) == "ell":
         # fused softmax+aggregation (no per-edge score materialization)
-        from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+        if trivial_w:
+            # v2: logits computed inside the bucket passes; the (ne,)
+            # logits array never exists (ops/fused_gat.py v2 notes)
+            from graphaibench_tpu.ops.fused_gat import gat_attention_spmm_v2
 
-        out = gat_attention_spmm(dg, logits, edge_w, h)
+            out = gat_attention_spmm_v2(dg, sl, sr, h)
+        else:
+            from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+
+            logits = gmath.leaky_relu(sddmm_add(dg, sl, sr), 0.2)
+            out = gat_attention_spmm(dg, logits, edge_w, h)
         return jax.nn.relu(out) if act else out
+    logits = gmath.leaky_relu(sddmm_add(dg, sl, sr), 0.2)
     scores = segment_softmax(dg, logits) * edge_w
     if train and cfg.score_drop > 0.0 and key is not None:
         k2 = jax.random.fold_in(key, 1)
@@ -181,7 +189,7 @@ def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
     return out
 
 
-def ggnn_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key):
+def ggnn_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key, trivial_w=False):
     """Gated GNN (GRU over summed neighbor messages) — the reference's
     GPU-only GGNN aggregator (ggnn_aggregator.cu) re-expressed densely:
     a = sum_nbr h; z = sig(aWz + hUz); r = sig(aWr + hUr);
@@ -215,16 +223,19 @@ def apply_model(
     train: bool = False,
     key: Optional[jax.Array] = None,
     return_intermediates: bool = False,
+    trivial_w: bool = False,
 ):
     """Full forward pass: gconv stack [+ l2norm + dense] -> logits.
-    Mirrors Model::forward_prop (net.cpp:457-502)."""
+    Mirrors Model::forward_prop (net.cpp:457-502). ``trivial_w`` is a
+    STATIC promise that edge_w is all-ones (full-batch graphs), which
+    lets GAT take the v2 slot-space fused path."""
     fwd = _LAYER_FWD[cfg.arch]
     acts = []
     h = x
     for l, (_, _, act) in enumerate(cfg.gconv_dims):
         k = jax.random.fold_in(key, l) if key is not None else None
         h = fwd(params["gconv"][l], dg, edge_w, h, act=act, cfg=cfg,
-                train=train, key=k)
+                train=train, key=k, trivial_w=trivial_w)
         if return_intermediates:
             acts.append(h)
     if cfg.use_l2norm:

@@ -120,7 +120,8 @@ class Model:
     def _loss(self, params, dg, edge_w, feats, labels, mask, key):
         begin, end, _ = self.ranges["train"]
         logits = apply_model(
-            self.cfg, params, dg, edge_w, feats, train=True, key=key
+            self.cfg, params, dg, edge_w, feats, train=True, key=key,
+            trivial_w=True,
         )
         if self.cfg.is_sigmoid:
             lg, rep, probs = masked_sigmoid_loss(
@@ -150,7 +151,7 @@ class Model:
 
     def _eval_logits_fn(self, params, dg, edge_w, feats):
         return apply_model(
-            self.cfg, params, dg, edge_w, feats, train=False,
+            self.cfg, params, dg, edge_w, feats, train=False, trivial_w=True,
         )
 
     def _train_scan_fn(self, params, opt_state, keys, dg, edge_w, feats,

@@ -130,3 +130,209 @@ def _bwd(res, ct):
 
 
 gat_attention_spmm.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: slot-space fused attention — no per-edge logits array EVER exists.
+# ---------------------------------------------------------------------------
+#
+# v1 materializes (ne,) logits via sddmm_add (2 slot gathers + adjoint
+# row reductions, ~240 ms/epoch at rmat17) and then re-gathers them in
+# every ELL pass (3 fwd passes). v2 exploits three structural facts:
+#
+#  1. PACKING: the gather engine is row-rate-bound (~512 B rows free),
+#     so sr rides as an extra feature column of h — the aggregation
+#     gather serves the logit computation for free, and z (the softmax
+#     denominator) accumulates as an extra output column of the same
+#     scatter. Forward needs ONE packed pass + one scalar rowmax pass.
+#  2. EXACT ROWMAX VIA MONOTONICITY: leaky_relu is monotone, so
+#     max_j leaky(sl_i + sr_j) = leaky(sl_i + max_j sr_j); the row max
+#     of a PER-VERTEX quantity replaces the row max of per-edge logits.
+#  3. INNER = <ct, out>: the softmax-adjoint row term
+#     sum_j p_j <ct_i, h_j> equals <ct_i, sum_j p_j h_j> = <ct_i, out_i>
+#     — computable elementwise from the saved forward output, deleting
+#     an entire backward reduction pass.
+#
+# Backward = 2 passes (one fwd-layout for d_sl, one transpose-role for
+# d_h + d_sr; the graph is structurally symmetric so the same buckets
+# serve both roles, as in the v1 adjoint). Reference analog: the fused
+# compute_attn_score_warp idea, include/gnn/graph_operations.h:250,
+# with the cuSPARSE csr2csc adjoint replaced by bucket reuse.
+
+
+def _iter_buckets_sliced(g: DeviceGraph):
+    """Yield (bucket, (lo, hi)) with the x-table slice bounds; plain ELL
+    yields the whole-table range."""
+    if g.seg_ell is not None:
+        for (lo, hi), buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
+            for b in buckets:
+                yield b, (lo, hi)
+    else:
+        for b in g.ell:
+            yield b, (0, g.nv)
+
+
+# the TPU gather engine is row-rate-bound (~250 M rows/s) for rows of
+# 8..512 BYTES and drops ~3.7x past 512 B (measured, round 2); pure
+# scalar gathers run at HALF the row rate (115 vs 232 M/s), so even a
+# 2-column packed table doubles scalar-gather throughput.
+_GATHER_MAX_COLS = 128
+
+
+def _col_chunks(total: int):
+    """Split a packed gather of ``total`` f32 columns into equal chunks
+    that each stay within the 512-byte fast-gather row budget."""
+    n = -(-total // _GATHER_MAX_COLS)
+    step = -(-total // n)
+    return [(lo, min(lo + step, total)) for lo in range(0, total, step)]
+
+
+def _bucket_views(b, clo, chi):
+    whole = (clo, chi) == (0, b.nbr.shape[0])
+    rows = b.row_ids if whole else b.row_ids[clo:chi]
+    eid = b.edge_id if whole else b.edge_id[clo:chi]
+    nbr = b.nbr if whole else b.nbr[clo:chi]
+    return rows, eid, nbr
+
+
+def _sr_rowmax(g: DeviceGraph, sr):
+    """Per-row max of the neighbor-side attention scalar. The table is
+    packed to 2 columns: a duplicated scalar column gathers 2x faster
+    than a true scalar gather (row-rate-bound engine, measured)."""
+    sr2 = jnp.stack([sr, sr], axis=1)                     # (nv, 2)
+    out = jnp.full((g.nv,), -jnp.inf, sr.dtype)
+    for b, (lo, hi) in _iter_buckets_sliced(g):
+        vb = jnp.where(b.edge_id == g.ne, -jnp.inf,
+                       sr2[lo:hi][b.nbr][..., 0])
+        out = out.at[b.row_ids].max(vb.max(axis=1))
+    return out
+
+
+def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
+    """Packed pass: gather [sr | h] in <=128-column chunks (each at the
+    full gather row rate; a single >512 B gather is 3.7x slower), logits
+    per slot from chunk 0, online exp, accumulate [sum eb*h | sum eb]
+    in one scatter."""
+    from graphaibench_tpu.ops.spmm import bucket_row_chunks
+
+    f = h.shape[1]
+    xa = jnp.concatenate([sr[:, None], h], axis=1)        # (nv, 1+F)
+    chunks = _col_chunks(f + 1)
+    acc = jnp.zeros((g.nv, f + 1), h.dtype)
+    for b, (lo, hi) in _iter_buckets_sliced(g):
+        xs = xa[lo:hi]
+        for clo, chi in bucket_row_chunks(b, f + 1):
+            rows, eid, nbr = _bucket_views(b, clo, chi)
+            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
+            raw = sl[rows][:, None] + gs[0][..., 0]
+            l = jnp.where(raw > 0, raw, 0.2 * raw)
+            eb = jnp.exp(l - m[rows][:, None])
+            eb = jnp.where(eid == g.ne, 0.0, eb)
+            parts = [jnp.einsum("rw,rwf->rf", eb, gs[0][..., 1:])]
+            parts += [jnp.einsum("rw,rwf->rf", eb, ga) for ga in gs[1:]]
+            parts.append(eb.sum(axis=1)[:, None])
+            acc = acc.at[rows].add(jnp.concatenate(parts, axis=1))
+    z = acc[:, f]
+    # floor must be a NORMAL f32: 1e-38 is subnormal and flushes to zero
+    # under XLA, making zinv=inf and 0*inf=NaN on edgeless rows
+    zinv = 1.0 / jnp.maximum(z, 1e-30)
+    return acc[:, :f] * zinv[:, None], zinv
+
+
+@jax.custom_vjp
+def gat_attention_spmm_v2(g: DeviceGraph, sl: jnp.ndarray, sr: jnp.ndarray,
+                          h: jnp.ndarray) -> jnp.ndarray:
+    """out = softmax-weighted aggregation with logits
+    leaky_relu(sl[src] + sr[dst]) computed INSIDE the bucket passes.
+    Requires trivial (all-ones) edge weights and a structurally
+    symmetric graph — the full-batch GAT case (gat_aggregator.cpp:57-102
+    semantics); sampled/masked paths use v1."""
+    m0 = _sr_rowmax(g, sr)
+    m = jnp.where(jnp.isfinite(m0), m0, 0.0)
+    raw = sl + m
+    m = jnp.where(raw > 0, raw, 0.2 * raw)   # = exact row max of logits
+    out, _ = _v2_fwd_pass(g, sl, sr, h, m)
+    return out
+
+
+def _v2_fwd(g, sl, sr, h):
+    m0 = _sr_rowmax(g, sr)
+    m = jnp.where(jnp.isfinite(m0), m0, 0.0)
+    raw = sl + m
+    m = jnp.where(raw > 0, raw, 0.2 * raw)
+    out, zinv = _v2_fwd_pass(g, sl, sr, h, m)
+    return out, (g, sl, sr, h, m, zinv, out)
+
+
+def _v2_bwd(res, ct):
+    from graphaibench_tpu.ops.spmm import _zero_cotangent, bucket_row_chunks
+
+    g, sl, sr, h, m, zinv, out = res
+    f = h.shape[1]
+    # softmax-adjoint row term: inner_i = sum_j p_j <ct_i, h_j>
+    #                                   = <ct_i, out_i>  (fact 3)
+    inner = jnp.sum(ct * out, axis=1)
+
+    # pass B1 (fwd layout): d_sl[i] = sum_j p_ij (dsw_ij - inner_i) l'
+    # packed [sr | h], gathered in <=128-col chunks (512 B fast window)
+    xa = jnp.concatenate([sr[:, None], h], axis=1)
+    chunks1 = _col_chunks(f + 1)
+    dsl = jnp.zeros((g.nv,), sl.dtype)
+    for b, (lo, hi) in _iter_buckets_sliced(g):
+        xs = xa[lo:hi]
+        for clo, chi in bucket_row_chunks(b, f + 1):
+            rows, eid, nbr = _bucket_views(b, clo, chi)
+            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
+            raw = sl[rows][:, None] + gs[0][..., 0]
+            l = jnp.where(raw > 0, raw, 0.2 * raw)
+            p = jnp.exp(l - m[rows][:, None]) * zinv[rows][:, None]
+            p = jnp.where(eid == g.ne, 0.0, p)
+            ctr = ct[rows]
+            dsw = jnp.einsum("rf,rwf->rw", ctr[:, chunks1[0][0]:chunks1[0][1] - 1],
+                             gs[0][..., 1:])
+            off = chunks1[0][1] - 1
+            for (c0, c1), ga in zip(chunks1[1:], gs[1:]):
+                dsw = dsw + jnp.einsum("rf,rwf->rw",
+                                       ctr[:, c0 - 1:c1 - 1], ga)
+            dlraw = p * (dsw - inner[rows][:, None])
+            dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
+            dsl = dsl.at[rows].add(dlraw.sum(axis=1))
+
+    # pass B2 (transpose role -- same buckets, symmetric graph): for
+    # bucket rows j with neighbors i, edge (i -> j) carries
+    # p = exp(leaky(sl_i + sr_j) - m_i) * zinv_i;
+    #   d_h[j]  = sum_i p ct_i        d_sr[j] = sum_i dlraw_ij
+    # packed [sl, m, zinv, inner | ct] chunked the same way
+    tb = jnp.concatenate(
+        [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct], axis=1)
+    chunks2 = _col_chunks(f + 4)
+    dh = jnp.zeros((g.nv, f), h.dtype)
+    dsr = jnp.zeros((g.nv,), sr.dtype)
+    for b, (lo, hi) in _iter_buckets_sliced(g):
+        ts = tb[lo:hi]
+        for clo, chi in bucket_row_chunks(b, f + 4):
+            rows, eid, nbr = _bucket_views(b, clo, chi)
+            gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]
+            raw = gs[0][..., 0] + sr[rows][:, None]        # sl_i + sr_j
+            l = jnp.where(raw > 0, raw, 0.2 * raw)
+            p = jnp.exp(l - gs[0][..., 1]) * gs[0][..., 2]
+            p = jnp.where(eid == g.ne, 0.0, p)
+            hr = h[rows]
+            # ct columns start at packed col 4; chunk k covers packed
+            # cols [c0, c1) -> ct cols [c0-4, c1-4)
+            dsw = jnp.einsum("rf,rwf->rw",
+                             hr[:, chunks2[0][0]:chunks2[0][1] - 4],
+                             gs[0][..., 4:])
+            dh_parts = [jnp.einsum("rw,rwf->rf", p, gs[0][..., 4:])]
+            for (c0, c1), ga in zip(chunks2[1:], gs[1:]):
+                dsw = dsw + jnp.einsum("rf,rwf->rw", hr[:, c0 - 4:c1 - 4], ga)
+                dh_parts.append(jnp.einsum("rw,rwf->rf", p, ga))
+            dlraw = p * (dsw - gs[0][..., 3])
+            dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
+            dh = dh.at[rows].add(jnp.concatenate(dh_parts, axis=1))
+            dsr = dsr.at[rows].add(dlraw.sum(axis=1))
+
+    return (_zero_cotangent(g), dsl, dsr, dh)
+
+
+gat_attention_spmm_v2.defvjp(_v2_fwd, _v2_bwd)

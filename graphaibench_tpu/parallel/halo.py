@@ -70,14 +70,16 @@ def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS):
         check_vma=False,
     )
 
+    # device-resident graph arrays are passed as jit ARGUMENTS, not
+    # captured constants (tunnelled-TPU compile-size hazard, CLAUDE.md)
     edge_src = jnp.asarray(sg.edge_src)
     col_idx = jnp.asarray(sg.col_idx)
     w = jnp.asarray(sg.edge_w)
     send_idx = jnp.asarray(sg.send_idx)
     halo_map = jnp.asarray(sg.halo_map)
+    fn_jit = jax.jit(fn)
 
-    @jax.jit
     def spmm_fn(x_padded):
-        return fn(x_padded, edge_src, col_idx, w, send_idx, halo_map)
+        return fn_jit(x_padded, edge_src, col_idx, w, send_idx, halo_map)
 
     return spmm_fn

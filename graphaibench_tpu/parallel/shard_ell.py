@@ -40,8 +40,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graphaibench_tpu.ops.device_graph import EllBucket, ell_from_coo
+from graphaibench_tpu.ops.device_graph import (
+    SEG_ELL_MIN_NV,
+    SEG_ROWS,
+    EllBucket,
+    ell_from_coo,
+)
 from graphaibench_tpu.ops.spmm import _zero_cotangent, bucket_row_chunks
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SlicedBucket:
+    """An ELL bucket whose neighbor ids are reindexed to the static
+    gather-table slice [lo, hi) — the column-segmented layout
+    (DeviceGraph.seg_ell's analog for the sharded rectangular kernels):
+    every gather stays inside a <=64 MB slice of the feature table,
+    where the measured rate is ~5x the whole-table rate at million-row
+    scale (CLAUDE.md)."""
+
+    b: EllBucket
+    lo: int
+    hi: int
+
+    def tree_flatten(self):
+        return (self.b,), (self.lo, self.hi)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(b=children[0], lo=aux[0], hi=aux[1])
+
+
+def _unwrap(bucket):
+    """(EllBucket, gather-slice bounds or None) for either bucket kind."""
+    if isinstance(bucket, SlicedBucket):
+        return bucket.b, (bucket.lo, bucket.hi)
+    return bucket, None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -100,23 +134,65 @@ def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
     return tuple(out)
 
 
-def build_shard_ell(sg, split: Optional[int] = None) -> ShardEll:
+def _stack_layout(per_shard_lists, num_shards, sentinel, n_gather,
+                  seg_rows):
+    """Stack per-shard bucket lists; when the gather table is larger
+    than ``seg_rows`` the lists are per-segment (aligned across shards
+    because every shard shares n_gather) and each stacked bucket is
+    wrapped in a SlicedBucket carrying its static slice."""
+    if n_gather <= seg_rows:
+        return _stack_bucket_lists(per_shard_lists, num_shards, sentinel)
+    out = []
+    n_segs = -(-n_gather // seg_rows)
+    for k in range(n_segs):
+        lo, hi = k * seg_rows, min((k + 1) * seg_rows, n_gather)
+        stacked = _stack_bucket_lists([bl[k] for bl in per_shard_lists],
+                                      num_shards, sentinel)
+        out.extend(SlicedBucket(b=b, lo=lo, hi=hi) for b in stacked)
+    return tuple(out)
+
+
+def build_shard_ell(sg, split: Optional[int] = None,
+                    seg_rows: int = SEG_ROWS,
+                    seg_min_rows: int = SEG_ELL_MIN_NV) -> ShardEll:
     """Build both stacked layouts from a host ShardedGraph. The edge-id
     space of shard p is its slot index [0, e_max) with sentinel e_max,
-    matching the per-shard edge arrays the trainer already ships."""
+    matching the per-shard edge arrays the trainer already ships.
+
+    Shards whose gather tables exceed ``seg_min_rows`` rows get the
+    column-segmented layout (every gather confined to a seg_rows slice);
+    below that, whole-table gathers are already in the fast regime."""
     P, e_max = sg.num_shards, sg.e_max
+    nv_ext = sg.nv_pad + sg.h_max
+
+    def layouts(rows, cols, eids, n_gather, use_segs):
+        if not use_segs:
+            return ell_from_coo(rows, cols, eids, e_max, split,
+                                as_numpy=True)
+        per_seg = []
+        for lo in range(0, n_gather, seg_rows):
+            hi = min(lo + seg_rows, n_gather)
+            sel = (cols >= lo) & (cols < hi)
+            per_seg.append(ell_from_coo(rows[sel], cols[sel] - lo,
+                                        eids[sel], e_max, split,
+                                        as_numpy=True))
+        return per_seg
+
+    seg_fwd = nv_ext >= seg_min_rows
+    seg_trans = sg.nv_pad >= seg_min_rows
     fwd_lists, trans_lists = [], []
     for p in range(P):
         n_e = int(sg.edge_valid[p].sum())
         rows = sg.edge_src[p, :n_e].astype(np.int64)
         cols = sg.col_idx[p, :n_e].astype(np.int64)
         eids = np.arange(n_e, dtype=np.int64)
-        fwd_lists.append(
-            ell_from_coo(rows, cols, eids, e_max, split, as_numpy=True))
-        trans_lists.append(
-            ell_from_coo(cols, rows, eids, e_max, split, as_numpy=True))
-    return ShardEll(fwd=_stack_bucket_lists(fwd_lists, P, e_max),
-                    trans=_stack_bucket_lists(trans_lists, P, e_max))
+        fwd_lists.append(layouts(rows, cols, eids, nv_ext, seg_fwd))
+        trans_lists.append(layouts(cols, rows, eids, sg.nv_pad, seg_trans))
+    fwd = (_stack_layout(fwd_lists, P, e_max, nv_ext, seg_rows) if seg_fwd
+           else _stack_bucket_lists(fwd_lists, P, e_max))
+    trans = (_stack_layout(trans_lists, P, e_max, sg.nv_pad, seg_rows)
+             if seg_trans else _stack_bucket_lists(trans_lists, P, e_max))
+    return ShardEll(fwd=fwd, trans=trans)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +210,8 @@ def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
         pad_val, init = 0.0, jnp.zeros((n_rows,), vals.dtype)
     v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
     out = init
-    for b in buckets:
+    for bk in buckets:
+        b, _ = _unwrap(bk)   # slot reductions ignore the gather slice
         vb = v_pad[b.edge_id]
         if kind == "max":
             out = out.at[b.row_ids].max(vb.max(axis=1))
@@ -146,16 +223,19 @@ def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
 def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
                n_out: int) -> jnp.ndarray:
     """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``
-    already carries the sentinel zero slot."""
+    already carries the sentinel zero slot. Sliced buckets gather from
+    their static x slice (column-segmented fast-gather window)."""
     out = jnp.zeros((n_out, x.shape[1]), x.dtype)
-    for b in buckets:
+    for bk in buckets:
+        b, sl = _unwrap(bk)
+        xs = x if sl is None else x[sl[0]:sl[1]]
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
             whole = (lo, hi) == (0, b.nbr.shape[0])
             rows = b.row_ids if whole else b.row_ids[lo:hi]
             eid = b.edge_id if whole else b.edge_id[lo:hi]
             nbr = b.nbr if whole else b.nbr[lo:hi]
             out = out.at[rows].add(
-                jnp.einsum("rw,rwf->rf", w_pad[eid], x[nbr]))
+                jnp.einsum("rw,rwf->rf", w_pad[eid], xs[nbr]))
     return out
 
 
@@ -234,7 +314,8 @@ def _norm_consts_local(se: ShardEll, logits, n_out):
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     denom = jnp.zeros((n_out,), logits.dtype)
-    for b in se.fwd:
+    for bk in se.fwd:
+        b, _ = _unwrap(bk)
         eb = jnp.exp(l_pad[b.edge_id] - m[b.row_ids][:, None])
         denom = denom.at[b.row_ids].add(eb.sum(axis=1))
     z = 1.0 / jnp.maximum(denom, 1e-38)
@@ -256,14 +337,16 @@ def gat_fused_local(n_out: int, se: ShardEll, logits: jnp.ndarray,
 def _gat_fwd_pass(se, logits, x, m, z, n_out):
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     out = jnp.zeros((n_out, x.shape[1]), x.dtype)
-    for b in se.fwd:
+    for bk in se.fwd:
+        b, sl = _unwrap(bk)
+        xs = x if sl is None else x[sl[0]:sl[1]]
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
             whole = (lo, hi) == (0, b.nbr.shape[0])
             rows = b.row_ids if whole else b.row_ids[lo:hi]
             eid = b.edge_id if whole else b.edge_id[lo:hi]
             nbr = b.nbr if whole else b.nbr[lo:hi]
             sb = jnp.exp(l_pad[eid] - m[rows][:, None]) * z[rows][:, None]
-            out = out.at[rows].add(jnp.einsum("rw,rwf->rf", sb, x[nbr]))
+            out = out.at[rows].add(jnp.einsum("rw,rwf->rf", sb, xs[nbr]))
     return out
 
 

@@ -124,6 +124,10 @@ class ShardedTrainer:
     train_step: Callable  # (params, opt_state) -> (params, opt_state, loss)
     eval_logits: Callable  # (params) -> (nv, C) on host logical shape
     nv: int
+    # (params, opt_state, n) -> (params, opt_state, losses[n]): n steps
+    # inside ONE dispatch via lax.scan (the tunnelled-TPU dispatch costs
+    # ~10 ms/call; scan-batching is how Model.train_epochs amortizes it)
+    train_steps: Callable = None
 
 
 def make_sharded_trainer(
@@ -217,12 +221,34 @@ def make_sharded_trainer(
         check_vma=False,
     )
 
-    @jax.jit
+    # big arrays enter the jitted fns as ARGUMENTS (device-resident,
+    # passed by reference), never as captured constants: on the
+    # tunnelled TPU a closed-over array is serialized into every remote
+    # compile (CLAUDE.md: a 54 MB captured constant already hit HTTP 413)
+    ga_args = (graph_arrays["edge_src"], graph_arrays["col_idx"],
+               graph_arrays["edge_w"], graph_arrays["edge_valid"],
+               graph_arrays["send_idx"], graph_arrays["halo_map"])
+    _step_jit = jax.jit(step_sm)
+
     def train_step(params, opt_state):
-        return step_sm(params, opt_state, x_d, lab_d, valid_d, se_dev,
-                       graph_arrays["edge_src"], graph_arrays["col_idx"],
-                       graph_arrays["edge_w"], graph_arrays["edge_valid"],
-                       graph_arrays["send_idx"], graph_arrays["halo_map"])
+        return _step_jit(params, opt_state, x_d, lab_d, valid_d, se_dev,
+                         *ga_args)
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnums=0)
+    def _steps_jit(n, params, opt_state, x, lab, valid, se, *ga):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step_sm(p, o, x, lab, valid, se, *ga)
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=n)
+        return p, o, losses
+
+    def train_steps(params, opt_state, n):
+        return _steps_jit(n, params, opt_state, x_d, lab_d, valid_d,
+                          se_dev, *ga_args)
 
     def local_logits(params, x_own, se, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
@@ -238,13 +264,11 @@ def make_sharded_trainer(
         check_vma=False,
     )
 
-    @jax.jit
+    _logits_jit = jax.jit(logits_sm)
+
     def eval_logits(params):
-        out = logits_sm(params, x_d, se_dev,
-                        graph_arrays["edge_src"], graph_arrays["col_idx"],
-                        graph_arrays["edge_w"], graph_arrays["edge_valid"],
-                        graph_arrays["send_idx"], graph_arrays["halo_map"])
-        return out[:nv]
+        return _logits_jit(params, x_d, se_dev, *ga_args)[:nv]
 
     return ShardedTrainer(mesh=mesh, train_step=train_step,
-                          eval_logits=eval_logits, nv=nv)
+                          eval_logits=eval_logits, nv=nv,
+                          train_steps=train_steps)

@@ -319,3 +319,71 @@ def test_segmented_fused_gat_matches_unfused():
         lambda l: spmm(dg, segment_softmax(dg, l) * ew, x, "ell").sum())(logits)
     np.testing.assert_allclose(np.asarray(gl_f), np.asarray(gl_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gat_v2_matches_v1_with_grads():
+    """gat_attention_spmm_v2 (slot-space: logits never materialized) must
+    equal the v1 fused path in values and in (sl, sr, h) gradients, on
+    both the plain-ELL and the column-segmented layouts."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops import math as gmath
+    from graphaibench_tpu.ops.device_graph import build_seg_ell, to_device_graph
+    from graphaibench_tpu.ops.fused_gat import (
+        gat_attention_spmm,
+        gat_attention_spmm_v2,
+    )
+    from graphaibench_tpu.ops.spmm import sddmm_add
+
+    g = rmat(8, 8, seed=3)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    dgs = dataclasses.replace(dg, seg_ell=build_seg_ell(g, seg_rows=64))
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((g.nv, 16)).astype(np.float32))
+    sl = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    sr = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    ew = jnp.ones(g.ne, jnp.float32)
+
+    def v1(sl_, sr_, h_, d):
+        logits = gmath.leaky_relu(sddmm_add(d, sl_, sr_), 0.2)
+        return gat_attention_spmm(d, logits, ew, h_)
+
+    for d in (dg, dgs):
+        got = gat_attention_spmm_v2(d, sl, sr, h)
+        ref = v1(sl, sr, h, dg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        loss_v2 = lambda a, b, x: (gat_attention_spmm_v2(d, a, b, x) ** 2).sum()
+        loss_v1 = lambda a, b, x: (v1(a, b, x, dg) ** 2).sum()
+        g2 = jax.grad(loss_v2, argnums=(0, 1, 2))(sl, sr, h)
+        g1 = jax.grad(loss_v1, argnums=(0, 1, 2))(sl, sr, h)
+        for a, b, name in zip(g2, g1, ("dsl", "dsr", "dh")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_gat_v2_in_model_matches_unfused_model():
+    """End-to-end: a GAT Model forward with trivial_w=True (v2 path) must
+    match trivial_w=False (v1/sddmm path) on identical params."""
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.nn.layers import ModelConfig, apply_model, init_params
+    from graphaibench_tpu.nn.model import GraphBundle
+
+    g = rmat(8, 8, seed=9)
+    gb = GraphBundle.build(g, "gat")
+    cfg = ModelConfig(arch="gat", num_layers=2, dim_init=12, dim_hid=8,
+                      num_cls=5, use_l2norm=True, use_dense=True)
+    params = init_params(cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((gb.host.nv, 12)).astype(np.float32))
+    out_v2 = apply_model(cfg, params, gb.device, gb.edge_w, x, trivial_w=True)
+    out_v1 = apply_model(cfg, params, gb.device, gb.edge_w, x, trivial_w=False)
+    np.testing.assert_allclose(np.asarray(out_v2), np.asarray(out_v1),
+                               rtol=2e-4, atol=2e-5)

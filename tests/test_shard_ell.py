@@ -149,6 +149,44 @@ def test_gat_fused_local_matches_naive_with_grads(shard_setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_segmented_layout_matches_flat(shard_setup):
+    """Forcing tiny segment thresholds must not change any output or
+    gradient (the column-segmented layout is a pure re-tiling)."""
+    sg, se_flat = shard_setup
+    se_seg = build_shard_ell(sg, seg_rows=16, seg_min_rows=32)
+    from graphaibench_tpu.parallel.shard_ell import SlicedBucket
+    assert any(isinstance(b, SlicedBucket) for b in se_seg.fwd)
+    rng = np.random.default_rng(3)
+    nv_ext = sg.nv_pad + sg.h_max
+    for p in range(2):
+        x = jnp.asarray(rng.standard_normal((nv_ext, 8)).astype(np.float32))
+        w = jnp.asarray(sg.edge_w[p])
+        logits = jnp.asarray(rng.standard_normal(sg.e_max).astype(np.float32))
+        es = jnp.asarray(sg.edge_src[p])
+        ci = jnp.asarray(sg.col_idx[p])
+        va = jnp.asarray(sg.edge_valid[p])
+        a, b = _local(se_flat, p), _local(se_seg, p)
+
+        f1 = lambda w_, x_, se_: jnp.sum(
+            slot_spmm(sg.nv_pad, se_, w_, x_, es, ci, va) ** 2)
+        np.testing.assert_allclose(float(f1(w, x, a)), float(f1(w, x, b)),
+                                   rtol=1e-5)
+        g1 = jax.grad(f1, argnums=1)(w, x, a)
+        g2 = jax.grad(f1, argnums=1)(w, x, b)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5)
+
+        f2 = lambda l, se_: jnp.sum(
+            gat_fused_local(sg.nv_pad, se_, l, x, es, ci, va) ** 2)
+        np.testing.assert_allclose(float(f2(logits, a)),
+                                   float(f2(logits, b)), rtol=1e-5)
+        gl1 = jax.grad(f2)(logits, a)
+        gl2 = jax.grad(f2)(logits, b)
+        np.testing.assert_allclose(np.asarray(gl1)[np.asarray(va)],
+                                   np.asarray(gl2)[np.asarray(va)],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_shard_ell_covers_every_edge(shard_setup):
     """Every valid slot appears exactly once in the fwd layout and once
     in the transpose layout; padding carries only the sentinel."""
