@@ -68,7 +68,7 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             ok = n == verifiers.triangle_count_serial(orientation(g))
     elif kernel == "bfs":
         source = int(args[0]) if args else 0
-        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dg = to_device_graph(g, with_transpose=False, with_ell=True)
         dist = np.asarray(bfs(dg, source))
         dt = time.perf_counter() - t0
         print(f"reached = {(dist >= 0).sum()}, max_depth = {dist.max()}")
@@ -77,13 +77,13 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         source = int(args[0]) if args else 0
         w = (np.asarray(g.elabels, dtype=np.float32)
              if g.elabels is not None else np.ones(g.ne, np.float32))
-        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dg = to_device_graph(g, with_transpose=False, with_ell=True)
         dist = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), source))
         dt = time.perf_counter() - t0
         ref = verifiers.dijkstra_serial(g, w, source)
         ok = np.allclose(dist, ref, rtol=1e-5, equal_nan=True)
     elif kernel == "pr":
-        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dg = to_device_graph(g, with_transpose=False, with_ell=True)
         scores, iters = pagerank(dg)
         scores = np.asarray(scores)
         dt = time.perf_counter() - t0
@@ -91,7 +91,7 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         ref = verifiers.pagerank_serial(g, g)
         ok = np.allclose(scores, ref, atol=1e-4)
     elif kernel == "cc":
-        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dg = to_device_graph(g, with_transpose=False, with_ell=True)
         comp = np.asarray(connected_components(dg))
         dt = time.perf_counter() - t0
         print(f"num_components = {len(np.unique(comp))}")
@@ -99,12 +99,12 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         ok = np.array_equal(comp, ref)
     elif kernel == "bc":
         source = int(args[0]) if args else 0
-        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dg = to_device_graph(g, with_transpose=False, with_ell=True)
         scores = np.asarray(bc_single_source(dg, source))
         dt = time.perf_counter() - t0
         ok = np.allclose(scores, verifiers.bc_serial(g, [source]), rtol=1e-4)
     elif kernel == "kcore":
-        dg = to_device_graph(g, with_transpose=False, with_ell=False)
+        dg = to_device_graph(g, with_transpose=False, with_ell=True)
         core = np.asarray(k_core(dg))
         dt = time.perf_counter() - t0
         print(f"max_coreness = {core.max()}")

@@ -13,22 +13,30 @@ import jax
 import jax.numpy as jnp
 
 from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.ops.segment import neighbor_reduce
 
 
 def bc_single_source(g: DeviceGraph, source: int) -> jnp.ndarray:
     """Dependency contributions of one source (Brandes)."""
     nv = g.nv
     src, dst = g.edge_src, g.col_idx
+    pull = bool(g.ell) or g.seg_ell is not None
 
     # ---- forward: depths + shortest-path counts -------------------------
+    # pull mode: reach[v] = sum of sigma over frontier neighbors, a dense
+    # bucket reduce (symmetric graph) instead of an (ne,)-scatter-add
     def f_cond(state):
         _d, _sig, frontier, _lvl = state
         return jnp.any(frontier)
 
     def f_body(state):
         dist, sigma, frontier, lvl = state
-        contrib = jnp.where(frontier[src], sigma[src], 0.0)
-        reach = jax.ops.segment_sum(contrib, dst, num_segments=nv)
+        if pull:
+            reach = neighbor_reduce(
+                g, jnp.where(frontier, sigma, 0.0), "sum")
+        else:
+            contrib = jnp.where(frontier[src], sigma[src], 0.0)
+            reach = jax.ops.segment_sum(contrib, dst, num_segments=nv)
         new = (reach > 0) & (dist < 0)
         sigma = jnp.where(new, reach, sigma)
         dist = jnp.where(new, lvl + 1, dist)
@@ -48,6 +56,16 @@ def bc_single_source(g: DeviceGraph, source: int) -> jnp.ndarray:
 
     def b_body(state):
         delta, lvl = state
+        if pull:
+            # add[u] = sigma[u] * sum_{v in N(u), dist[v]==lvl}
+            #          (1+delta[v])/sigma[v]  — neighbor-side condition
+            # folds into the pulled value, row-side applies after
+            val = jnp.where((dist == lvl) & (sigma > 0),
+                            (1.0 + delta) / jnp.where(sigma > 0, sigma, 1.0),
+                            0.0)
+            acc = neighbor_reduce(g, val, "sum")
+            add = jnp.where(dist == lvl - 1, sigma * acc, 0.0)
+            return delta + add, lvl - 1
         # edges u -> v with dist[v] == dist[u] + 1 and dist[u] == lvl - 1
         on_level = (dist[src] == lvl - 1) & (dist[dst] == lvl)
         w = jnp.where(

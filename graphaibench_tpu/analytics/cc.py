@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.ops.segment import neighbor_reduce
 
 
 def connected_components(g: DeviceGraph, *, max_iter: int | None = None) -> jnp.ndarray:
@@ -25,10 +26,17 @@ def connected_components(g: DeviceGraph, *, max_iter: int | None = None) -> jnp.
         _c, changed, it = state
         return changed & (it < max_iter)
 
+    pull = bool(g.ell) or g.seg_ell is not None
+
     def body(state):
         comp, _, it = state
         # hook: take the min label over each vertex's neighborhood
-        cand = jnp.full(nv, nv, dtype=jnp.int32).at[dst].min(comp[src])
+        # (pull-mode dense bucket reduce when ELL is available — the
+        # (ne,)-scatter-min costs ~4x more, measured round 2)
+        if pull:
+            cand = neighbor_reduce(g, comp, "min")
+        else:
+            cand = jnp.full(nv, nv, dtype=jnp.int32).at[dst].min(comp[src])
         new = jnp.minimum(comp, cand)
         # compress: pointer jumping
         new = new[new]

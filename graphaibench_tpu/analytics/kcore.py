@@ -12,14 +12,21 @@ import jax
 import jax.numpy as jnp
 
 from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.ops.segment import neighbor_reduce
 
 
 def k_core(g: DeviceGraph) -> jnp.ndarray:
     """Coreness of every vertex (matches transforms.k_core_decomposition)."""
     nv = g.nv
     src, dst = g.edge_src, g.col_idx
+    pull = bool(g.ell) or g.seg_ell is not None
 
     def live_degrees(alive):
+        if pull:
+            # deg[i] = alive[i] * sum_{j in N(i)} alive[j] as a dense
+            # bucket reduce instead of the (ne,)-scatter-add
+            nbr_alive = neighbor_reduce(g, alive.astype(jnp.int32), "sum")
+            return jnp.where(alive, nbr_alive, 0)
         contrib = (alive[src] & alive[dst]).astype(jnp.int32)
         return jax.ops.segment_sum(contrib, src, num_segments=nv)
 

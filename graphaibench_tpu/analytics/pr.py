@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.ops.segment import neighbor_reduce
 
 EPSILON = 1e-4
 K_DAMP = 0.85
@@ -38,10 +39,16 @@ def pagerank(
         _s, err, it = state
         return (err >= epsilon) & (it < max_iter)
 
+    pull = bool(rg.ell) or rg.seg_ell is not None
+
     def body(state):
         scores, _, it = state
         contrib = scores / out_deg
-        incoming = jax.ops.segment_sum(contrib[rdst], rsrc, num_segments=nv)
+        if pull:
+            incoming = neighbor_reduce(rg, contrib, "sum")
+        else:
+            incoming = jax.ops.segment_sum(contrib[rdst], rsrc,
+                                           num_segments=nv)
         new = base + damp * incoming
         err = jnp.sum(jnp.abs(new - scores))
         return new, err, it + 1

@@ -18,11 +18,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.ops.segment import neighbor_reduce
+
+
+def _has_buckets(g: DeviceGraph) -> bool:
+    return bool(g.ell) or g.seg_ell is not None
 
 
 def bfs(g: DeviceGraph, source: int) -> jnp.ndarray:
-    """Level-synchronous BFS. Returns int32 depths, -1 if unreachable."""
+    """Level-synchronous BFS. Returns int32 depths, -1 if unreachable.
+
+    With ELL buckets the sweep runs in PULL mode (min-plus neighbor
+    reduce over dense degree buckets — the TPU translation of the
+    reference's direction-optimizing pull pass, omp_direction.cc:31);
+    the (ne,)-scatter push formulation is the bucket-less fallback.
+    Pull assumes a symmetric graph (the reference BFS inputs are)."""
     nv = g.nv
+
+    if _has_buckets(g):
+        big = jnp.int32(1 << 30)
+
+        def cond_p(state):
+            _d, changed, _it = state
+            return changed
+
+        def body_p(state):
+            dist, _, it = state
+            du = jnp.where(dist < 0, big, dist)
+            # +1 AFTER the reach test: the min-identity (INT_MAX) on
+            # edgeless/unreached rows would wrap negative
+            cand = neighbor_reduce(g, du, "min")
+            new = jnp.where((dist < 0) & (cand < big), cand + 1, dist)
+            return new, jnp.any(new != dist), it + 1
+
+        dist0 = jnp.full(nv, -1, dtype=jnp.int32).at[source].set(0)
+        dist, _, _ = jax.lax.while_loop(
+            cond_p, body_p, (dist0, jnp.bool_(True), jnp.int32(0)))
+        return dist
+
     src, dst = g.edge_src, g.col_idx
 
     def cond(state):
@@ -61,9 +94,16 @@ def sssp_bellman_ford(
         _dist, changed, it = state
         return changed & (it < max_iter)
 
+    pull = _has_buckets(g)
+
     def body(state):
         dist, _, it = state
-        cand = jnp.full(nv, inf).at[dst].min(dist[src] + weights)
+        if pull:
+            # pull-mode relaxation: dist[j] + w(i,j) reduced over dense
+            # degree buckets (symmetric weighted graph)
+            cand = neighbor_reduce(g, dist, "min", edge_vals=weights)
+        else:
+            cand = jnp.full(nv, inf).at[dst].min(dist[src] + weights)
         new = jnp.minimum(dist, cand)
         return new, jnp.any(new < dist), it + 1
 
@@ -98,10 +138,17 @@ def sssp_delta_stepping(
     light = weights <= delta
     max_outer = nv if max_outer is None else max_outer
 
+    pull = _has_buckets(g)
+
     def relax(dist, active, mask):
         """One relaxation of edges with src active (+ static edge mask)."""
-        contrib = jnp.where(active[src] & mask, dist[src] + weights, inf)
-        cand = jnp.full(nv, inf).at[dst].min(contrib)
+        if pull:
+            cand = neighbor_reduce(
+                g, jnp.where(active, dist, inf), "min",
+                edge_vals=jnp.where(mask, weights, inf))
+        else:
+            contrib = jnp.where(active[src] & mask, dist[src] + weights, inf)
+            cand = jnp.full(nv, inf).at[dst].min(contrib)
         return jnp.minimum(dist, cand)
 
     def outer_cond(state):
@@ -144,5 +191,5 @@ def bfs_host(g_host, source: int) -> np.ndarray:
     """Convenience: device BFS from a host CSRGraph."""
     from graphaibench_tpu.ops.device_graph import to_device_graph
 
-    dg = to_device_graph(g_host, with_transpose=False, with_ell=False)
+    dg = to_device_graph(g_host, with_transpose=False, with_ell=True)
     return np.asarray(bfs(dg, source))

@@ -112,6 +112,19 @@ class DeviceGraph:
         return self.trans_perm is not None
 
 
+def iter_buckets_sliced(g: DeviceGraph):
+    """Yield (bucket, (lo, hi)) with the gather-table slice bounds the
+    bucket's neighbor ids index into; plain ELL yields the whole-table
+    range, the column-segmented layout its per-segment slices."""
+    if g.seg_ell is not None:
+        for bounds, buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
+            for b in buckets:
+                yield b, bounds
+    else:
+        for b in g.ell:
+            yield b, (0, g.nv)
+
+
 def all_buckets(g: DeviceGraph) -> tuple:
     """Every ELL bucket of ``g`` regardless of layout. Row reductions
     (per-edge values -> per-row scalars) are oblivious to column

@@ -160,16 +160,9 @@ gat_attention_spmm.defvjp(_fwd, _bwd)
 # with the cuSPARSE csr2csc adjoint replaced by bucket reuse.
 
 
-def _iter_buckets_sliced(g: DeviceGraph):
-    """Yield (bucket, (lo, hi)) with the x-table slice bounds; plain ELL
-    yields the whole-table range."""
-    if g.seg_ell is not None:
-        for (lo, hi), buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
-            for b in buckets:
-                yield b, (lo, hi)
-    else:
-        for b in g.ell:
-            yield b, (0, g.nv)
+from graphaibench_tpu.ops.device_graph import (
+    iter_buckets_sliced as _iter_buckets_sliced,
+)
 
 
 # the TPU gather engine is row-rate-bound (~250 M rows/s) for rows of

@@ -73,3 +73,52 @@ def segment_softmax_vjp(
 def segment_sum_edges(g: DeviceGraph, vals: jnp.ndarray) -> jnp.ndarray:
     return jax.ops.segment_sum(vals, g.edge_src, num_segments=g.nv,
                                indices_are_sorted=True)
+
+
+# identity elements per reduction kind, chosen per dtype at trace time
+def _ident(kind: str, dtype):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return {"max": -jnp.inf, "min": jnp.inf, "sum": 0.0}[kind]
+    info = jnp.iinfo(dtype)
+    return {"max": info.min, "min": info.max, "sum": 0}[kind]
+
+
+def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
+                    edge_vals: jnp.ndarray | None = None) -> jnp.ndarray:
+    """out[i] = reduce_{j in N(i)} vals[j]  (optionally combined with the
+    per-edge value: vals[j] + edge_vals[e] for min/max, vals[j] *
+    edge_vals[e] for sum).
+
+    The PULL-mode relaxation primitive for frontier analytics
+    (BFS/CC/PR/BC/SSSP): one dense (R, W) gather + reduction per degree
+    bucket replaces the (ne,)-sized scatter-min/max of the push
+    formulation (the reference's direction-optimizing pull pass,
+    src/traversal/omp_direction.cc:31, mapped to the TPU gather engine).
+    The vertex table is packed to 2 columns because a pure scalar gather
+    runs at HALF the row rate (115 vs 232 M rows/s, measured round 2).
+
+    Requires ELL buckets (plain or column-segmented); N(i) here are the
+    row-i neighbors in the bucket layout, i.e. out-neighbors — pass the
+    reverse graph for in-neighbor pulls on directed graphs."""
+    ident = _ident(kind, vals.dtype)
+    v2 = jnp.stack([vals, vals], axis=1)               # 2-col packed
+    out = jnp.full((g.nv,), ident, vals.dtype)
+    if edge_vals is not None:
+        ev_ident = 0 if kind != "sum" else _ident("sum", edge_vals.dtype)
+        ev_pad = jnp.concatenate(
+            [edge_vals, jnp.full((1,), ev_ident, edge_vals.dtype)])
+    from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+
+    for b, (lo, hi) in iter_buckets_sliced(g):
+        vb = v2[lo:hi][b.nbr][..., 0]                  # (R, W)
+        if edge_vals is not None:
+            eb = ev_pad[b.edge_id]
+            vb = vb * eb if kind == "sum" else vb + eb
+        vb = jnp.where(b.edge_id == g.ne, ident, vb)
+        if kind == "max":
+            out = out.at[b.row_ids].max(vb.max(axis=1))
+        elif kind == "min":
+            out = out.at[b.row_ids].min(vb.min(axis=1))
+        else:
+            out = out.at[b.row_ids].add(vb.sum(axis=1))
+    return out
