@@ -86,6 +86,11 @@ def main():
         model = Model(cfg, ds)
         model.train_epochs(args.epochs)  # compile + warm
         single_s = _median3(lambda: model.train_epochs(args.epochs)) / args.epochs
+        # free the single-model device graph before building the sharded
+        # one: at rmat20 both resident at once exhaust the 16 GB HBM
+        del model
+        import gc
+        gc.collect()
 
         # --- sharded trainer at P=1 ---
         prepped = prepare_graph(g, arch)
