@@ -48,6 +48,17 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         if getattr(cg, "scheme", None) == "streamvbyte":
             g = decode_graph_device(cg)
             print("decoded streamvbyte on device")
+        elif hasattr(cg, "cfg"):  # CGR
+            from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+
+            try:
+                g = cgr_decode_device(cg)
+                print("decoded cgr on device")
+            except ValueError as e:  # interval/tiny-segment streams
+                from graphaibench_tpu.compress.cli import decode_any
+
+                g = decode_any(cg)
+                print(f"decoded on host ({e})")
         else:
             from graphaibench_tpu.compress.cli import decode_any
             g = decode_any(cg)

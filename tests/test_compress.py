@@ -220,3 +220,60 @@ def test_codec_fuzz_roundtrip(seed, tmp_path):
 
     hg = hybrid.encode_graph(g, threshold=int(rng.integers(2, 40)))
     assert np.array_equal(hybrid.decode_graph(hg).col_idx, g.col_idx)
+
+
+def test_cgr_device_decode_matches_host():
+    """cgr_decode_device must reproduce the exact CSR across alignments,
+    zeta_k, add_degree, and skewed graphs (cgr_decoder.cuh:269 analog)."""
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.generators import rmat, uniform_random
+
+    graphs = [
+        T.sort_and_clean(rmat(9, 8, seed=1)),         # hubs + isolated
+        T.sort_and_clean(uniform_random(200, 600, seed=2)),
+    ]
+    cfgs = [dict(), dict(zeta_k=3), dict(alignment="byte"),
+            dict(alignment="word"), dict(add_degree=True),
+            dict(res_seg_len=64)]
+    for g in graphs:
+        for kw in cfgs:
+            cg = cgr.encode_graph(g, cgr.CgrConfig(use_interval=False, **kw))
+            got = cgr_decode_device(cg)
+            np.testing.assert_array_equal(
+                np.asarray(got.row_ptr), np.asarray(g.row_ptr), err_msg=str(kw))
+            np.testing.assert_array_equal(got.col_idx, g.col_idx,
+                                          err_msg=str(kw))
+
+
+def test_cgr_device_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.generators import uniform_random
+
+    g = T.sort_and_clean(uniform_random(50, 150, seed=0))
+    for kw in (dict(use_interval=True), dict(res_seg_len=0),
+               dict(res_seg_len=32)):
+        cg = cgr.encode_graph(g, cgr.CgrConfig(**kw))
+        with _pytest.raises(ValueError):
+            cgr_decode_device(cg)
+
+
+def test_tc_golden_via_cgr_device_decode(tmp_path):
+    """citeseer triangle golden (1166) through the device CGR path."""
+    from graphaibench_tpu.analytics.tc import triangle_count
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.io import load_graph
+
+    g = T.sort_and_clean(load_graph("/root/reference/inputs/citeseer"))
+    cg = cgr.encode_graph(g, cgr.CgrConfig(use_interval=False))
+    g2 = cgr_decode_device(cg)
+    assert triangle_count(g2) == 1166
