@@ -94,7 +94,7 @@ def main():
     model.train_epochs(epochs)
     epoch_s = (time.perf_counter() - t0) / epochs
 
-    # GAT epoch on the same graph (SDDMM + segment softmax + SpMM path)
+    # GAT epoch on the same graph (v2 slot-space fused attention)
     cfg_gat = ModelConfig(arch="gat", num_layers=2, dim_init=feat,
                           dim_hid=128, num_cls=16, lr=0.01)
     model_gat = Model(cfg_gat, ds)
@@ -102,6 +102,45 @@ def main():
     t0 = time.perf_counter()
     model_gat.train_epochs(epochs)
     gat_epoch_s = (time.perf_counter() - t0) / epochs
+
+    # --- scale regime: rmat20 (1M v / 32M e), where the gather-locality
+    # cliff lives (CLAUDE.md scale findings). SpMM + GCN epoch + GAT
+    # epoch so at-scale regressions show up in BENCH_r*.json each round.
+    del model, model_gat, ds
+    import gc
+
+    gc.collect()
+    g20 = rmat(20, 32, seed=0)
+    gb20 = GraphBundle.build(g20, "gcn")
+    x20 = jnp.asarray(rng.standard_normal((g20.nv, feat)).astype(np.float32))
+    dt20 = _bench_looped(
+        lambda i, v: spmm_ell(gb20.device, gb20.edge_w, v), x20, 5)
+    labels20 = rng.integers(0, 16, g20.nv).astype(np.int32)
+    mask20 = np.ones(g20.nv, dtype=np.uint8)
+    tr20 = (0, g20.nv, g20.nv)
+    ds20 = GnnDataset(graph=g20, feats=np.asarray(x20), labels=labels20,
+                      train_mask=mask20, val_mask=mask20, test_mask=mask20,
+                      num_classes=16, train_range=tr20, val_range=tr20,
+                      test_range=tr20)
+    del gb20, x20
+    gc.collect()
+    scale_epochs = 3
+    m20 = Model(ModelConfig(arch="gcn", num_layers=2, dim_init=feat,
+                            dim_hid=128, num_cls=16, lr=0.01), ds20)
+    m20.train_epochs(scale_epochs)
+    t0 = time.perf_counter()
+    m20.train_epochs(scale_epochs)
+    gcn20_epoch_s = (time.perf_counter() - t0) / scale_epochs
+    del m20
+    gc.collect()
+    m20g = Model(ModelConfig(arch="gat", num_layers=2, dim_init=feat,
+                             dim_hid=128, num_cls=16, lr=0.01), ds20)
+    m20g.train_epochs(scale_epochs)
+    t0 = time.perf_counter()
+    m20g.train_epochs(scale_epochs)
+    gat20_epoch_s = (time.perf_counter() - t0) / scale_epochs
+    del m20g
+    gc.collect()
 
     print(json.dumps({
         "metric": "spmm_edges_per_s",
@@ -116,6 +155,10 @@ def main():
             "sol_edges_per_s": float(sol_edges_per_s),
             "gcn_epoch_s": epoch_s,
             "gat_epoch_s": gat_epoch_s,
+            "rmat20_spmm_ms": dt20 * 1e3,
+            "rmat20_spmm_edges_per_s": g20.ne / dt20,
+            "rmat20_gcn_epoch_s": gcn20_epoch_s,
+            "rmat20_gat_epoch_s": gat20_epoch_s,
         },
     }))
 

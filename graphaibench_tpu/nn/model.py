@@ -278,17 +278,17 @@ class Model:
 
         step = jax.jit(sampled_step)
 
-        total = 0.0
-        for epoch in range(num_epochs):
-            t0 = time.perf_counter()
+        def prepare(epoch, e_pad):
+            """Host work of one epoch: sample + induce + pad. Runs in a
+            background thread so epoch k+1's sampling overlaps epoch k's
+            device step (the reference pre-samples num_threads subgraphs
+            per round for the same reason, net.cpp:288-358)."""
             sub, l2g, _mask = sampler.generate_subgraph(subg_size, seed + epoch)
             sub = prepare_graph(sub, self.cfg.arch)
             n_real, e_real = sub.nv, sub.ne
             if e_real > e_pad:  # grow the pad (recompiles once)
                 e_pad = -(-e_real // 64) * 64
             w = aggregation_weights(sub, self.cfg.arch)
-
-            # pad to (n_pad, e_pad)
             src, dst = sub.coo()
             es = np.full(e_pad, n_pad - 1, dtype=np.int32)
             cd = np.zeros(e_pad, dtype=np.int32)
@@ -300,32 +300,48 @@ class Model:
             tp[:e_real] = T.transpose_edge_permutation(sub)
             deg = np.zeros(n_pad, dtype=np.int32)
             deg[:n_real] = sub.degrees()
-            dg = DeviceGraph(
-                row_ptr=jnp.zeros(n_pad + 1, jnp.int32),  # unused in coo path
-                col_idx=jnp.asarray(cd), edge_src=jnp.asarray(es),
-                deg=jnp.asarray(deg), trans_perm=jnp.asarray(tp),
-                ell=(), nv=n_pad, ne=e_pad,
-            )
             x = np.zeros((n_pad, feats_np.shape[1]), dtype=np.float32)
             x[:n_real] = feats_np[l2g]
             lab = np.zeros(n_pad, dtype=np.int32)
             lab[:n_real] = labels_np[l2g]
             valid = np.zeros(n_pad, dtype=bool)
             valid[:n_real] = True
+            return dict(e_pad=e_pad, n_real=n_real, es=es, cd=cd, ww=ww,
+                        tp=tp, deg=deg, x=x, lab=lab, valid=valid)
 
-            self.params, self.opt_state, loss, acc = step(
-                self.params, self.opt_state, dg, jnp.asarray(ww),
-                jnp.asarray(x), jnp.asarray(lab), jnp.asarray(valid),
-                jnp.float32(n_real),
-            )
-            dt = time.perf_counter() - t0
-            total += dt
-            if verbose:
-                line = (f"Epoch {epoch:3d} subg_nv {n_real} train_loss "
-                        f"{float(loss):.3f} train_acc {float(acc):.3f}")
-                if epoch % val_interval == 0 and epoch != 0:
-                    line += f" val_acc {self.evaluate('val'):.3f}"
-                print(f"{line} time {dt:.4f} s")
+        import concurrent.futures
+
+        pool = concurrent.futures.ThreadPoolExecutor(1)
+        try:
+            fut = pool.submit(prepare, 0, e_pad)
+            total = 0.0
+            for epoch in range(num_epochs):
+                t0 = time.perf_counter()
+                d = fut.result()
+                e_pad = d["e_pad"]
+                if epoch + 1 < num_epochs:   # double-buffer the sampler
+                    fut = pool.submit(prepare, epoch + 1, e_pad)
+                dg = DeviceGraph(
+                    row_ptr=jnp.zeros(n_pad + 1, jnp.int32),  # unused (coo)
+                    col_idx=jnp.asarray(d["cd"]), edge_src=jnp.asarray(d["es"]),
+                    deg=jnp.asarray(d["deg"]), trans_perm=jnp.asarray(d["tp"]),
+                    ell=(), nv=n_pad, ne=e_pad,
+                )
+                self.params, self.opt_state, loss, acc = step(
+                    self.params, self.opt_state, dg, jnp.asarray(d["ww"]),
+                    jnp.asarray(d["x"]), jnp.asarray(d["lab"]),
+                    jnp.asarray(d["valid"]), jnp.float32(d["n_real"]),
+                )
+                dt = time.perf_counter() - t0
+                total += dt
+                if verbose:
+                    line = (f"Epoch {epoch:3d} subg_nv {d['n_real']} train_loss "
+                            f"{float(loss):.3f} train_acc {float(acc):.3f}")
+                    if epoch % val_interval == 0 and epoch != 0:
+                        line += f" val_acc {self.evaluate('val'):.3f}"
+                    print(f"{line} time {dt:.4f} s")
+        finally:
+            pool.shutdown(wait=False)
         return total
 
     def evaluate(self, split: str = "test") -> float:

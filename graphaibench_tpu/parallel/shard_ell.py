@@ -83,17 +83,19 @@ def _unwrap(bucket):
 class ShardEll:
     """Stacked ELL layouts of all shards' local graphs. Every array has
     a leading shard axis [P] so the structure shards along the mesh
-    axis; strip it inside shard_map with ``local_shard_ell``."""
+    axis; strip it inside shard_map with ``local_shard_ell``.
+    ``sentinel`` is the STATIC padding edge id (= e_max at build)."""
 
     fwd: tuple    # tuple[EllBucket, ...] rows = local rows [0, nv_pad)
     trans: tuple  # tuple[EllBucket, ...] rows = ext-local cols [0, nv_pad+h_max)
+    sentinel: int = 0
 
     def tree_flatten(self):
-        return (self.fwd, self.trans), ()
+        return (self.fwd, self.trans), (self.sentinel,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(fwd=children[0], trans=children[1])
+        return cls(fwd=children[0], trans=children[1], sentinel=aux[0])
 
 
 def local_shard_ell(se: ShardEll) -> ShardEll:
@@ -192,7 +194,7 @@ def build_shard_ell(sg, split: Optional[int] = None,
            else _stack_bucket_lists(fwd_lists, P, e_max))
     trans = (_stack_layout(trans_lists, P, e_max, sg.nv_pad, seg_rows)
              if seg_trans else _stack_bucket_lists(trans_lists, P, e_max))
-    return ShardEll(fwd=fwd, trans=trans)
+    return ShardEll(fwd=fwd, trans=trans, sentinel=e_max)
 
 
 # ---------------------------------------------------------------------------
@@ -375,3 +377,160 @@ def _gat_fused_bwd(n_out, res, ct):
 
 
 gat_fused_local.defvjp(_gat_fused_fwd, _gat_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2 sharded GAT: logits computed inside the bucket passes (the sharded
+# twin of ops.fused_gat.gat_attention_spmm_v2). No slot-space array is
+# ever gathered: sr rides as a packed column of the aggregation gather,
+# z accumulates as an extra output column, the exact row max comes from
+# leaky_relu's monotonicity, and the softmax-adjoint inner term is
+# <ct, out> elementwise. Rectangular local graphs use the explicit
+# transpose layout where the single-chip op reuses symmetric buckets.
+# ---------------------------------------------------------------------------
+
+
+def _col_chunks_local(total: int, max_cols: int = 128):
+    n = -(-total // max_cols)
+    step = -(-total // n)
+    return [(lo, min(lo + step, total)) for lo in range(0, total, step)]
+
+
+def _sr_rowmax_local(se: ShardEll, sr_ext, n_out, sent):
+    """Exact per-local-row max of the neighbor-side attention scalar
+    (2-col packed table: scalar gathers run at half the row rate)."""
+    sr2 = jnp.stack([sr_ext, sr_ext], axis=1)
+    out = jnp.full((n_out,), -jnp.inf, sr_ext.dtype)
+    for bk in se.fwd:
+        b, sl_ = _unwrap(bk)
+        tb = sr2 if sl_ is None else sr2[sl_[0]:sl_[1]]
+        vb = jnp.where(b.edge_id == sent, -jnp.inf, tb[b.nbr][..., 0])
+        out = out.at[b.row_ids].max(vb.max(axis=1))
+    return out
+
+
+def _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent):
+    from graphaibench_tpu.ops.spmm import bucket_row_chunks
+
+    f = h_ext.shape[1]
+    xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1)   # (nv_ext, 1+F)
+    chunks = _col_chunks_local(f + 1)
+    acc = jnp.zeros((n_out, f + 1), h_ext.dtype)
+    for bk in se.fwd:
+        b, sl_ = _unwrap(bk)
+        xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
+        for clo, chi in bucket_row_chunks(b, f + 1):
+            whole = (clo, chi) == (0, b.nbr.shape[0])
+            rows = b.row_ids if whole else b.row_ids[clo:chi]
+            eid = b.edge_id if whole else b.edge_id[clo:chi]
+            nbr = b.nbr if whole else b.nbr[clo:chi]
+            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
+            raw = sl[rows][:, None] + gs[0][..., 0]
+            l = jnp.where(raw > 0, raw, 0.2 * raw)
+            eb = jnp.exp(l - m[rows][:, None])
+            eb = jnp.where(eid == sent, 0.0, eb)
+            parts = [jnp.einsum("rw,rwf->rf", eb, gs[0][..., 1:])]
+            parts += [jnp.einsum("rw,rwf->rf", eb, ga) for ga in gs[1:]]
+            parts.append(eb.sum(axis=1)[:, None])
+            acc = acc.at[rows].add(jnp.concatenate(parts, axis=1))
+    z = acc[:, f]
+    zinv = 1.0 / jnp.maximum(z, 1e-30)    # NORMAL f32 floor (not 1e-38)
+    return acc[:, :f] * zinv[:, None], zinv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gat_fused_local_v2(n_out: int, se: ShardEll, sl: jnp.ndarray,
+                       sr_ext: jnp.ndarray, h_ext: jnp.ndarray) -> jnp.ndarray:
+    """Sharded fused GAT, logits never materialized. sl: (nv_pad,)
+    row-side scalars; sr_ext/h_ext: (nv_pad + h_max, ...) extended-local
+    neighbor-side values. Differentiable in all three."""
+    sent = se.sentinel
+    m0 = _sr_rowmax_local(se, sr_ext, n_out, sent)
+    m = jnp.where(jnp.isfinite(m0), m0, 0.0)
+    raw = sl + m
+    m = jnp.where(raw > 0, raw, 0.2 * raw)   # exact row max of the logits
+    out, _ = _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent)
+    return out
+
+
+def _gat_v2_bwd_local(n_out, res, ct):
+    from graphaibench_tpu.ops.spmm import bucket_row_chunks
+
+    se, sl, sr_ext, h_ext, m, zinv, out, sent = res
+    f = h_ext.shape[1]
+    inner = jnp.sum(ct * out, axis=1)          # softmax-adjoint row term
+
+    # B1 (fwd layout): d_sl
+    xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1)
+    chunks1 = _col_chunks_local(f + 1)
+    dsl = jnp.zeros((n_out,), sl.dtype)
+    for bk in se.fwd:
+        b, sl_ = _unwrap(bk)
+        xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
+        for clo, chi in bucket_row_chunks(b, f + 1):
+            whole = (clo, chi) == (0, b.nbr.shape[0])
+            rows = b.row_ids if whole else b.row_ids[clo:chi]
+            eid = b.edge_id if whole else b.edge_id[clo:chi]
+            nbr = b.nbr if whole else b.nbr[clo:chi]
+            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
+            raw = sl[rows][:, None] + gs[0][..., 0]
+            l = jnp.where(raw > 0, raw, 0.2 * raw)
+            p = jnp.exp(l - m[rows][:, None]) * zinv[rows][:, None]
+            p = jnp.where(eid == sent, 0.0, p)
+            ctr = ct[rows]
+            dsw = jnp.einsum("rf,rwf->rw",
+                             ctr[:, chunks1[0][0]:chunks1[0][1] - 1],
+                             gs[0][..., 1:])
+            for (c0, c1), ga in zip(chunks1[1:], gs[1:]):
+                dsw = dsw + jnp.einsum("rf,rwf->rw", ctr[:, c0 - 1:c1 - 1], ga)
+            dlraw = p * (dsw - inner[rows][:, None])
+            dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
+            dsl = dsl.at[rows].add(dlraw.sum(axis=1))
+
+    # B2 (transpose layout): rows j = ext-local cols, nbr i = local rows
+    tb = jnp.concatenate(
+        [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct], axis=1)
+    chunks2 = _col_chunks_local(f + 4)
+    nv_ext = h_ext.shape[0]
+    dh = jnp.zeros((nv_ext, f), h_ext.dtype)
+    dsr = jnp.zeros((nv_ext,), sr_ext.dtype)
+    for bk in se.trans:
+        b, sl_ = _unwrap(bk)
+        ts = tb if sl_ is None else tb[sl_[0]:sl_[1]]
+        for clo, chi in bucket_row_chunks(b, f + 4):
+            whole = (clo, chi) == (0, b.nbr.shape[0])
+            rows = b.row_ids if whole else b.row_ids[clo:chi]
+            eid = b.edge_id if whole else b.edge_id[clo:chi]
+            nbr = b.nbr if whole else b.nbr[clo:chi]
+            gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]
+            raw = gs[0][..., 0] + sr_ext[rows][:, None]      # sl_i + sr_j
+            l = jnp.where(raw > 0, raw, 0.2 * raw)
+            p = jnp.exp(l - gs[0][..., 1]) * gs[0][..., 2]
+            p = jnp.where(eid == sent, 0.0, p)
+            hr = h_ext[rows]
+            dsw = jnp.einsum("rf,rwf->rw",
+                             hr[:, chunks2[0][0]:chunks2[0][1] - 4],
+                             gs[0][..., 4:])
+            dh_parts = [jnp.einsum("rw,rwf->rf", p, gs[0][..., 4:])]
+            for (c0, c1), ga in zip(chunks2[1:], gs[1:]):
+                dsw = dsw + jnp.einsum("rf,rwf->rw", hr[:, c0 - 4:c1 - 4], ga)
+                dh_parts.append(jnp.einsum("rw,rwf->rf", p, ga))
+            dlraw = p * (dsw - gs[0][..., 3])
+            dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
+            dh = dh.at[rows].add(jnp.concatenate(dh_parts, axis=1))
+            dsr = dsr.at[rows].add(dlraw.sum(axis=1))
+
+    return (_zero_cotangent(se), dsl, dsr, dh)
+
+
+def _gat_v2_fwd_res(n_out, se, sl, sr_ext, h_ext):
+    sent = se.sentinel
+    m0 = _sr_rowmax_local(se, sr_ext, n_out, sent)
+    m = jnp.where(jnp.isfinite(m0), m0, 0.0)
+    raw = sl + m
+    m = jnp.where(raw > 0, raw, 0.2 * raw)
+    out, zinv = _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent)
+    return out, (se, sl, sr_ext, h_ext, m, zinv, out, sent)
+
+
+gat_fused_local_v2.defvjp(_gat_v2_fwd_res, _gat_v2_bwd_local)

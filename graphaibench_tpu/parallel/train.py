@@ -30,6 +30,7 @@ from graphaibench_tpu.parallel.shard_ell import (
     ShardEll,
     build_shard_ell,
     gat_fused_local,
+    gat_fused_local_v2,
     local_shard_ell,
     shard_ell_specs,
     slot_sddmm_add,
@@ -84,13 +85,9 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
             sl = t @ p["alpha_l"]                  # (nv_pad,)
             sr = t_ext @ p["alpha_r"]              # (nv_pad + h_max,)
             if se is not None and se.fwd:
-                nv_ext = t_ext.shape[0]
-                logits = slot_sddmm_add(nv_pad, nv_ext, se, sl, sr,
-                                        ga["edge_src"], ga["col_idx"])
-                logits = jnp.where(logits > 0, logits, 0.2 * logits)
-                out = gat_fused_local(nv_pad, se, logits, t_ext,
-                                      ga["edge_src"], ga["col_idx"],
-                                      ga["edge_valid"])
+                # v2: logits computed inside the bucket passes; no
+                # slot-space array is ever gathered (shard_ell.py notes)
+                out = gat_fused_local_v2(nv_pad, se, sl, sr, t_ext)
             else:
                 logits = sl[ga["edge_src"]] + sr[ga["col_idx"]]
                 logits = jnp.where(logits > 0, logits, 0.2 * logits)
