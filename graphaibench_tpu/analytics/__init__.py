@@ -59,6 +59,13 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
 
                 g = decode_any(cg)
                 print(f"decoded on host ({e})")
+        elif getattr(cg, "vbyte_scheme", None) == "streamvbyte":  # hybrid
+            from graphaibench_tpu.compress.device_decode import (
+                decode_hybrid_device,
+            )
+
+            g = decode_hybrid_device(cg)
+            print("decoded hybrid on device")
         else:
             from graphaibench_tpu.compress.cli import decode_any
             g = decode_any(cg)

@@ -39,9 +39,10 @@ from graphaibench_tpu.compress.vbyte import VbyteGraph
 from graphaibench_tpu.graph.csr import CSRGraph
 
 
-@functools.partial(jax.jit, static_argnames=("nv", "ne"))
+@functools.partial(jax.jit, static_argnames=("nv", "ne", "count_word"))
 def streamvbyte_decode_device(words: jnp.ndarray, word_offsets: jnp.ndarray,
-                              degrees: jnp.ndarray, *, nv: int, ne: int):
+                              degrees: jnp.ndarray, *, nv: int, ne: int,
+                              count_word: bool = True):
     """Decode all adjacency lists of a StreamVByte-compressed graph.
 
     words: (W+2,) uint32 packed stream (little-endian word view, padded
@@ -64,7 +65,11 @@ def streamvbyte_decode_device(words: jnp.ndarray, word_offsets: jnp.ndarray,
         [jnp.zeros(1, jnp.int32), jnp.cumsum(degrees, dtype=jnp.int32)])
     if ne == 0:
         return row_ptr, jnp.zeros(0, jnp.int32)
-    base = word_offsets[:nv].astype(jnp.int32) * 4  # per-vertex byte base
+    # per-vertex byte base: word offsets (x4) for whole-graph streams,
+    # raw BYTE offsets for hybrid sub-streams (count_word=False there —
+    # hybrid vbyte chunks carry no leading count word, hybrid.py:56)
+    scale = 4 if count_word else 1
+    base = word_offsets[:nv].astype(jnp.int32) * scale
 
     e = jnp.arange(ne, dtype=jnp.int32)
     # segment ids: +1 at each vertex's first edge slot, then prefix-sum
@@ -76,10 +81,11 @@ def streamvbyte_decode_device(words: jnp.ndarray, word_offsets: jnp.ndarray,
     # the TPU gather engine is row-rate-bound, so per-vertex values are
     # packed into one matrix and fetched with a single row gather per
     # edge instead of one gather per field
+    key0 = base + (4 if count_word else 0)
     pervertex = jnp.stack(
         [row_ptr[:nv],                             # first edge slot
-         base + 4,                                 # key region start
-         base + 4 + ((degrees + 3) >> 2)],         # data region start
+         key0,                                     # key region start
+         key0 + ((degrees + 3) >> 2)],             # data region start
         axis=1)
     pv = pervertex[v]                              # (ne, 3)
     seg_first, key_start, data_start = pv[:, 0], pv[:, 1], pv[:, 2]
@@ -148,3 +154,78 @@ def decode_graph_device(vg: VbyteGraph) -> CSRGraph:
         words, woff, deg, nv=vg.nv, ne=vg.ne)
     return CSRGraph(row_ptr=np.asarray(row_ptr, dtype=np.int64),
                     col_idx=np.asarray(col_idx, dtype=np.int32))
+
+
+def decode_hybrid_device(hg) -> CSRGraph:
+    """Device decode of a hybrid-compressed graph (hybrid.py layout):
+    low-degree vertices are unsegmented zeta streams with a gamma degree
+    prefix (decoded by the CGR residual scans, one lane per vertex —
+    degree < threshold bounds the trip count), high-degree vertices are
+    count-word-free StreamVByte chunks (decoded by the vectorized SVB
+    kernel over the subset). Composes the two device decoders over two
+    word views of the same byte stream."""
+    import jax
+
+    from graphaibench_tpu.compress import cgr_device as CD
+
+    if hg.vbyte_scheme != "streamvbyte":
+        raise ValueError("device hybrid decode supports streamvbyte "
+                         f"chunks only, not {hg.vbyte_scheme!r}")
+    nv, ne = hg.nv, hg.ne
+    deg = np.asarray(hg.degrees, dtype=np.int64)
+    row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    assert row_ptr[-1] == ne, (row_ptr[-1], ne)
+    off = np.asarray(hg.offsets, dtype=np.int64)  # BYTE offsets
+    assert off[-1] * 8 < 2**31, "stream too large for int32 bit positions"
+
+    pad = (-len(hg.data)) % 4 + 16
+    raw = hg.data + b"\x00" * pad
+    words_be = jnp.asarray(np.frombuffer(raw, dtype=">u4").astype(np.uint32))
+    quads = CD._quads(words_be)
+    col = jnp.zeros((max(ne, 1),), jnp.int32)
+
+    low = np.nonzero((deg > 0) & (deg < hg.threshold))[0]
+    if len(low):
+        counts = deg[low]
+        data_p = (off[low] * 8 + CD._gamma_len_np(counts)).astype(np.int32)
+        base = row_ptr[low].astype(np.int32)
+        lane_v = low.astype(np.int32)
+        order = np.argsort(counts, kind="stable")
+        sc = counts[order]
+        trips = [t for t in (8, 32, 128, 512, 2048)
+                 if t < 4 * max(hg.threshold, 2)]
+        lo = 0
+        for trip in trips:
+            hi = np.searchsorted(sc, trip, side="right")
+            sel = order[lo:hi]
+            lo = hi
+            if len(sel) == 0:
+                continue
+            n_pad = CD._pow2_pad(len(sel))
+            pd = np.zeros(n_pad - len(sel), np.int32)
+            col = CD._residual_pass(
+                quads,
+                jnp.asarray(np.concatenate([data_p[sel], pd])),
+                jnp.asarray(np.concatenate([counts[sel].astype(np.int32),
+                                            pd])),
+                jnp.asarray(np.concatenate([lane_v[sel], pd])),
+                jnp.asarray(np.concatenate([base[sel], pd])),
+                col, hg.zeta_k, trip, max(ne, 1))
+        assert lo == len(low), "degree exceeds hybrid trip grid"
+
+    high = np.nonzero(deg >= hg.threshold)[0]
+    if len(high):
+        words_le = jnp.asarray(np.frombuffer(raw, dtype=np.uint32))
+        ne_h = int(deg[high].sum())
+        _rp, sub_col = streamvbyte_decode_device(
+            words_le, jnp.asarray(off[high].astype(np.int32)),
+            jnp.asarray(deg[high].astype(np.int32)),
+            nv=len(high), ne=ne_h, count_word=False)
+        lengths = deg[high]
+        sub_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        slots = (np.repeat(row_ptr[high] - sub_starts, lengths)
+                 + np.arange(ne_h)).astype(np.int32)
+        col = col.at[jnp.asarray(slots)].set(sub_col)
+
+    return CSRGraph(row_ptr=row_ptr,
+                    col_idx=np.asarray(col[:ne], dtype=np.int32))

@@ -277,3 +277,33 @@ def test_tc_golden_via_cgr_device_decode(tmp_path):
     cg = cgr.encode_graph(g, cgr.CgrConfig(use_interval=False))
     g2 = cgr_decode_device(cg)
     assert triangle_count(g2) == 1166
+
+
+def test_hybrid_device_decode_matches_host():
+    """decode_hybrid_device composes the zeta-lane and SVB-subset device
+    decoders; must reproduce the exact CSR (hybrid_encoder.cc analog)."""
+    from graphaibench_tpu.compress import hybrid
+    from graphaibench_tpu.compress.device_decode import decode_hybrid_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.generators import rmat
+
+    g = T.sort_and_clean(rmat(9, 8, seed=4))  # hubs above + below threshold
+    for threshold in (4, 32, 10**9):   # all-svb .. mixed .. all-zeta
+        hg = hybrid.encode_graph(g, threshold=threshold)
+        got = decode_hybrid_device(hg)
+        np.testing.assert_array_equal(np.asarray(got.row_ptr),
+                                      np.asarray(g.row_ptr))
+        np.testing.assert_array_equal(got.col_idx, g.col_idx,
+                                      err_msg=f"threshold={threshold}")
+
+
+def test_tc_golden_via_hybrid_device_decode():
+    from graphaibench_tpu.analytics.tc import triangle_count
+    from graphaibench_tpu.compress import hybrid
+    from graphaibench_tpu.compress.device_decode import decode_hybrid_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.io import load_graph
+
+    g = T.sort_and_clean(load_graph("/root/reference/inputs/citeseer"))
+    hg = hybrid.encode_graph(g)
+    assert triangle_count(decode_hybrid_device(hg)) == 1166
