@@ -82,15 +82,20 @@ def main():
         if args.mode == "strong":
             eff = rate / (base_rate * n) * n  # speedup fraction of ideal n
             eff = rate / base_rate / n
-        # analytic ICI projection: a virtual CPU mesh timeshares one
-        # host, so the measured "efficiency" above only validates
-        # plumbing. The real multi-chip cost model is per-layer:
-        #   compute  ~ per-shard edges / measured single-chip rate
-        #   comm     ~ halo feature bytes over ICI (v5e ~4.5e10 B/s/link)
+        # ICI projection, calibrated with round-2 REAL-CHIP measurements
+        # of the sharded path itself (tools/sharded_p1_bench.py): the
+        # P=1 sharded trainer runs at 0.88-0.91x of the single-chip
+        # Model (rmat17 AND rmat20), i.e. the per-shard ELL kernels hit
+        # the measured single-chip SpMM rate, so the compute term uses
+        # that rate directly. Only the ICI link bandwidth (v5e ~4.5e10
+        # B/s) remains from specs — one real chip cannot exercise ICI.
+        #   compute  ~ per-shard edges / measured sharded-kernel rate
+        #   comm     ~ halo feature bytes over ICI
         halo_total = int((sg.halo_map >= 0).sum()) if hasattr(
             sg, "halo_map") else 0
         halo_bytes = halo_total / n * args.feat * 4
-        comp_s = (g.ne / n) / 2.65e8           # measured chip SpMM rate
+        p1_ratio = 0.9            # measured sharded/single epoch ratio
+        comp_s = (g.ne / n) / (2.65e8 * p1_ratio)
         comm_s = halo_bytes / 4.5e10
         proj_eff = comp_s / (comp_s + comm_s)
         results.append(dict(shards=n, scale=scale, nv=g.nv, ne=g.ne,
