@@ -188,6 +188,34 @@ def _bucket_views(b, clo, chi):
     return rows, eid, nbr
 
 
+def _seq(acc, nbr, enable):
+    """Tie a bucket chunk's gather indices to the running accumulator.
+    Without this artificial dependency XLA hoists EVERY bucket/chunk
+    gather before the first scatter — at rmat20 that kept ~128 GB of
+    (r, W, F) stages live ('Ran out of memory in memory space hbm.
+    Used 128.41G of 15.75G', measured). The barrier forces
+    one-stage-at-a-time liveness. It costs ~16% at rmat17 (hoisting =
+    overlap there), so it is gated on graph size — the same threshold
+    as the seg-ELL layout switch."""
+    if not enable:
+        return acc, nbr
+    acc, nbr = jax.lax.optimization_barrier((acc, nbr))
+    return acc, nbr
+
+
+def _wsum(w, x):
+    """einsum('rw,rwf->rf') as broadcast-multiply+sum: identical speed
+    (measured round 1) but no dot layout constraints — XLA assigned the
+    einsum's (r, 4, 66) copy a T(8,128) layout that padded a width-4
+    bucket 32x (13.8 GB) at rmat20."""
+    return (w[:, :, None] * x).sum(axis=1)
+
+
+def _dotw(a, x):
+    """einsum('rf,rwf->rw') as broadcast-multiply+sum (same reason)."""
+    return (a[:, None, :] * x).sum(axis=-1)
+
+
 def _sr_rowmax(g: DeviceGraph, sr):
     """Per-row max of the neighbor-side attention scalar. The table is
     packed to 2 columns: a duplicated scalar column gathers 2x faster
@@ -208,6 +236,9 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
     in one scatter."""
     from graphaibench_tpu.ops.spmm import bucket_row_chunks
 
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    seq = g.nv >= SEG_ELL_MIN_NV
     f = h.shape[1]
     xa = jnp.concatenate([sr[:, None], h], axis=1)        # (nv, 1+F)
     chunks = _col_chunks(f + 1)
@@ -216,13 +247,14 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
         xs = xa[lo:hi]
         for clo, chi in bucket_row_chunks(b, f + 1):
             rows, eid, nbr = _bucket_views(b, clo, chi)
+            acc, nbr = _seq(acc, nbr, seq)
             gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             eb = jnp.exp(l - m[rows][:, None])
             eb = jnp.where(eid == g.ne, 0.0, eb)
-            parts = [jnp.einsum("rw,rwf->rf", eb, gs[0][..., 1:])]
-            parts += [jnp.einsum("rw,rwf->rf", eb, ga) for ga in gs[1:]]
+            parts = [_wsum(eb, gs[0][..., 1:])]
+            parts += [_wsum(eb, ga) for ga in gs[1:]]
             parts.append(eb.sum(axis=1)[:, None])
             acc = acc.at[rows].add(jnp.concatenate(parts, axis=1))
     z = acc[:, f]
@@ -261,6 +293,9 @@ def _v2_bwd(res, ct):
     from graphaibench_tpu.ops.spmm import _zero_cotangent, bucket_row_chunks
 
     g, sl, sr, h, m, zinv, out = res
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    seq = g.nv >= SEG_ELL_MIN_NV
     f = h.shape[1]
     # softmax-adjoint row term: inner_i = sum_j p_j <ct_i, h_j>
     #                                   = <ct_i, out_i>  (fact 3)
@@ -275,18 +310,17 @@ def _v2_bwd(res, ct):
         xs = xa[lo:hi]
         for clo, chi in bucket_row_chunks(b, f + 1):
             rows, eid, nbr = _bucket_views(b, clo, chi)
+            dsl, nbr = _seq(dsl, nbr, seq)
             gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - m[rows][:, None]) * zinv[rows][:, None]
             p = jnp.where(eid == g.ne, 0.0, p)
             ctr = ct[rows]
-            dsw = jnp.einsum("rf,rwf->rw", ctr[:, chunks1[0][0]:chunks1[0][1] - 1],
-                             gs[0][..., 1:])
-            off = chunks1[0][1] - 1
+            dsw = _dotw(ctr[:, chunks1[0][0]:chunks1[0][1] - 1],
+                        gs[0][..., 1:])
             for (c0, c1), ga in zip(chunks1[1:], gs[1:]):
-                dsw = dsw + jnp.einsum("rf,rwf->rw",
-                                       ctr[:, c0 - 1:c1 - 1], ga)
+                dsw = dsw + _dotw(ctr[:, c0 - 1:c1 - 1], ga)
             dlraw = p * (dsw - inner[rows][:, None])
             dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
             dsl = dsl.at[rows].add(dlraw.sum(axis=1))
@@ -305,6 +339,7 @@ def _v2_bwd(res, ct):
         ts = tb[lo:hi]
         for clo, chi in bucket_row_chunks(b, f + 4):
             rows, eid, nbr = _bucket_views(b, clo, chi)
+            dh, nbr = _seq(dh, nbr, seq)
             gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]
             raw = gs[0][..., 0] + sr[rows][:, None]        # sl_i + sr_j
             l = jnp.where(raw > 0, raw, 0.2 * raw)
@@ -313,13 +348,12 @@ def _v2_bwd(res, ct):
             hr = h[rows]
             # ct columns start at packed col 4; chunk k covers packed
             # cols [c0, c1) -> ct cols [c0-4, c1-4)
-            dsw = jnp.einsum("rf,rwf->rw",
-                             hr[:, chunks2[0][0]:chunks2[0][1] - 4],
-                             gs[0][..., 4:])
-            dh_parts = [jnp.einsum("rw,rwf->rf", p, gs[0][..., 4:])]
+            dsw = _dotw(hr[:, chunks2[0][0]:chunks2[0][1] - 4],
+                        gs[0][..., 4:])
+            dh_parts = [_wsum(p, gs[0][..., 4:])]
             for (c0, c1), ga in zip(chunks2[1:], gs[1:]):
-                dsw = dsw + jnp.einsum("rf,rwf->rw", hr[:, c0 - 4:c1 - 4], ga)
-                dh_parts.append(jnp.einsum("rw,rwf->rf", p, ga))
+                dsw = dsw + _dotw(hr[:, c0 - 4:c1 - 4], ga)
+                dh_parts.append(_wsum(p, ga))
             dlraw = p * (dsw - gs[0][..., 3])
             dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
             dh = dh.at[rows].add(jnp.concatenate(dh_parts, axis=1))

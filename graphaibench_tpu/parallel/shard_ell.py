@@ -49,6 +49,18 @@ from graphaibench_tpu.ops.device_graph import (
 from graphaibench_tpu.ops.spmm import _zero_cotangent, bucket_row_chunks
 
 
+def _seq_local(acc, nbr, n_gather_rows: int):
+    """Sequential-liveness barrier for large shards (see
+    ops.fused_gat._seq: XLA otherwise hoists every stage's gather and
+    the program exceeds HBM at million-row shards)."""
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    if n_gather_rows < SEG_ELL_MIN_NV:
+        return acc, nbr
+    acc, nbr = jax.lax.optimization_barrier((acc, nbr))
+    return acc, nbr
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SlicedBucket:
@@ -424,13 +436,16 @@ def _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent):
             rows = b.row_ids if whole else b.row_ids[clo:chi]
             eid = b.edge_id if whole else b.edge_id[clo:chi]
             nbr = b.nbr if whole else b.nbr[clo:chi]
+            acc, nbr = _seq_local(acc, nbr, h_ext.shape[0])
             gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             eb = jnp.exp(l - m[rows][:, None])
             eb = jnp.where(eid == sent, 0.0, eb)
-            parts = [jnp.einsum("rw,rwf->rf", eb, gs[0][..., 1:])]
-            parts += [jnp.einsum("rw,rwf->rf", eb, ga) for ga in gs[1:]]
+            from graphaibench_tpu.ops.fused_gat import _wsum
+
+            parts = [_wsum(eb, gs[0][..., 1:])]
+            parts += [_wsum(eb, ga) for ga in gs[1:]]
             parts.append(eb.sum(axis=1)[:, None])
             acc = acc.at[rows].add(jnp.concatenate(parts, axis=1))
     z = acc[:, f]
@@ -502,19 +517,21 @@ def _gat_v2_bwd_local(n_out, res, ct):
             rows = b.row_ids if whole else b.row_ids[clo:chi]
             eid = b.edge_id if whole else b.edge_id[clo:chi]
             nbr = b.nbr if whole else b.nbr[clo:chi]
+            dh, nbr = _seq_local(dh, nbr, h_ext.shape[0])
             gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]
             raw = gs[0][..., 0] + sr_ext[rows][:, None]      # sl_i + sr_j
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - gs[0][..., 1]) * gs[0][..., 2]
             p = jnp.where(eid == sent, 0.0, p)
             hr = h_ext[rows]
-            dsw = jnp.einsum("rf,rwf->rw",
-                             hr[:, chunks2[0][0]:chunks2[0][1] - 4],
-                             gs[0][..., 4:])
-            dh_parts = [jnp.einsum("rw,rwf->rf", p, gs[0][..., 4:])]
+            from graphaibench_tpu.ops.fused_gat import _dotw, _wsum
+
+            dsw = _dotw(hr[:, chunks2[0][0]:chunks2[0][1] - 4],
+                        gs[0][..., 4:])
+            dh_parts = [_wsum(p, gs[0][..., 4:])]
             for (c0, c1), ga in zip(chunks2[1:], gs[1:]):
-                dsw = dsw + jnp.einsum("rf,rwf->rw", hr[:, c0 - 4:c1 - 4], ga)
-                dh_parts.append(jnp.einsum("rw,rwf->rf", p, ga))
+                dsw = dsw + _dotw(hr[:, c0 - 4:c1 - 4], ga)
+                dh_parts.append(_wsum(p, ga))
             dlraw = p * (dsw - gs[0][..., 3])
             dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
             dh = dh.at[rows].add(jnp.concatenate(dh_parts, axis=1))
