@@ -203,16 +203,36 @@ def _seq(acc, nbr, enable):
     return acc, nbr
 
 
+# Narrow-bucket W-reductions are UNROLLED into 2-D slice ops: for any
+# 3-D reduction over a small middle dim, XLA materializes a transposed
+# copy with the middle dim minormost and T(8,128)-padded — a width-4
+# bucket chunk became a single 13.8 GB allocation (32x padding) at
+# rmat20. 2-D slices have no such layout freedom.
+_UNROLL_W = 16
+# tighter per-stage cap for the v2 passes on LARGE graphs: two packed
+# column-chunks are live per stage plus outputs, and at rmat20 the
+# default 1 GB stages exhausted runtime HBM (ResourceExhausted at the
+# first epoch); 2^27 elements = 512 MB per gathered chunk
+_V2_STAGE_ELEMS = 1 << 27
+
+
 def _wsum(w, x):
-    """einsum('rw,rwf->rf') as broadcast-multiply+sum: identical speed
-    (measured round 1) but no dot layout constraints — XLA assigned the
-    einsum's (r, 4, 66) copy a T(8,128) layout that padded a width-4
-    bucket 32x (13.8 GB) at rmat20."""
+    """einsum('rw,rwf->rf') without dot/reduce layout hazards."""
+    W = x.shape[1]
+    if W <= _UNROLL_W:
+        out = w[:, 0, None] * x[:, 0, :]
+        for k in range(1, W):
+            out = out + w[:, k, None] * x[:, k, :]
+        return out
     return (w[:, :, None] * x).sum(axis=1)
 
 
 def _dotw(a, x):
-    """einsum('rf,rwf->rw') as broadcast-multiply+sum (same reason)."""
+    """einsum('rf,rwf->rw') without dot/reduce layout hazards."""
+    W = x.shape[1]
+    if W <= _UNROLL_W:
+        return jnp.stack([(a * x[:, k, :]).sum(axis=-1) for k in range(W)],
+                         axis=1)
     return (a[:, None, :] * x).sum(axis=-1)
 
 
@@ -245,7 +265,8 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
     acc = jnp.zeros((g.nv, f + 1), h.dtype)
     for b, (lo, hi) in _iter_buckets_sliced(g):
         xs = xa[lo:hi]
-        for clo, chi in bucket_row_chunks(b, f + 1):
+        for clo, chi in bucket_row_chunks(
+                b, f + 1, _V2_STAGE_ELEMS if seq else None):
             rows, eid, nbr = _bucket_views(b, clo, chi)
             acc, nbr = _seq(acc, nbr, seq)
             gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
@@ -308,7 +329,8 @@ def _v2_bwd(res, ct):
     dsl = jnp.zeros((g.nv,), sl.dtype)
     for b, (lo, hi) in _iter_buckets_sliced(g):
         xs = xa[lo:hi]
-        for clo, chi in bucket_row_chunks(b, f + 1):
+        for clo, chi in bucket_row_chunks(
+                b, f + 1, _V2_STAGE_ELEMS if seq else None):
             rows, eid, nbr = _bucket_views(b, clo, chi)
             dsl, nbr = _seq(dsl, nbr, seq)
             gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
@@ -337,7 +359,8 @@ def _v2_bwd(res, ct):
     dsr = jnp.zeros((g.nv,), sr.dtype)
     for b, (lo, hi) in _iter_buckets_sliced(g):
         ts = tb[lo:hi]
-        for clo, chi in bucket_row_chunks(b, f + 4):
+        for clo, chi in bucket_row_chunks(
+                b, f + 4, _V2_STAGE_ELEMS if seq else None):
             rows, eid, nbr = _bucket_views(b, clo, chi)
             dh, nbr = _seq(dh, nbr, seq)
             gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]

@@ -69,11 +69,12 @@ def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 _ELL_STAGE_ELEMS = 1 << 28
 
 
-def bucket_row_chunks(b, f: int):
-    """Row ranges of an ELL bucket bounded to _ELL_STAGE_ELEMS elements
-    of gathered (rows, W, f) data per chunk."""
+def bucket_row_chunks(b, f: int, cap: int | None = None):
+    """Row ranges of an ELL bucket bounded to ``cap`` (default
+    _ELL_STAGE_ELEMS) elements of gathered (rows, W, f) data per chunk."""
     r = b.nbr.shape[0]
-    step = max(1, _ELL_STAGE_ELEMS // max(b.width * f, 1))
+    cap = cap or _ELL_STAGE_ELEMS
+    step = max(1, cap // max(b.width * f, 1))
     return [(s, min(s + step, r)) for s in range(0, r, step)]
 
 
