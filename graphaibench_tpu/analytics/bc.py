@@ -16,6 +16,7 @@ from graphaibench_tpu.ops.device_graph import DeviceGraph
 from graphaibench_tpu.ops.segment import neighbor_reduce
 
 
+@jax.jit
 def bc_single_source(g: DeviceGraph, source: int) -> jnp.ndarray:
     """Dependency contributions of one source (Brandes)."""
     nv = g.nv

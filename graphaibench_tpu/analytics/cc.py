@@ -15,6 +15,10 @@ from graphaibench_tpu.ops.device_graph import DeviceGraph
 from graphaibench_tpu.ops.segment import neighbor_reduce
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
 def connected_components(g: DeviceGraph, *, max_iter: int | None = None) -> jnp.ndarray:
     """Component labels; label = min vertex id in the component.
     Assumes a symmetric (undirected) graph like the reference solvers."""

@@ -15,6 +15,7 @@ from graphaibench_tpu.ops.device_graph import DeviceGraph
 from graphaibench_tpu.ops.segment import neighbor_reduce
 
 
+@jax.jit
 def k_core(g: DeviceGraph) -> jnp.ndarray:
     """Coreness of every vertex (matches transforms.k_core_decomposition)."""
     nv = g.nv

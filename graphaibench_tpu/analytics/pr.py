@@ -15,6 +15,10 @@ K_DAMP = 0.85
 MAX_ITER = 100
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("damp", "epsilon", "max_iter"))
 def pagerank(
     g: DeviceGraph,
     rg: DeviceGraph | None = None,

@@ -13,6 +13,8 @@ that optimization.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,8 +27,13 @@ def _has_buckets(g: DeviceGraph) -> bool:
     return bool(g.ell) or g.seg_ell is not None
 
 
+@jax.jit
 def bfs(g: DeviceGraph, source: int) -> jnp.ndarray:
     """Level-synchronous BFS. Returns int32 depths, -1 if unreachable.
+
+    Jitted at the def site: the eager path RETRACES AND RECOMPILES the
+    while_loop body on every call (~60 s for the 20-bucket seg-ELL body
+    at rmat19 — measured as a 17x apparent slowdown in round 2).
 
     With ELL buckets the sweep runs in PULL mode (min-plus neighbor
     reduce over dense degree buckets — the TPU translation of the
@@ -80,6 +87,7 @@ def bfs(g: DeviceGraph, source: int) -> jnp.ndarray:
     return dist
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
 def sssp_bellman_ford(
     g: DeviceGraph, weights: jnp.ndarray, source: int, *, max_iter: int | None = None
 ) -> jnp.ndarray:
@@ -116,6 +124,18 @@ def sssp_delta_stepping(
     g: DeviceGraph, weights: jnp.ndarray, source: int, *,
     delta: float | None = None, max_outer: int | None = None,
 ) -> jnp.ndarray:
+    if delta is None:
+        # host-side default (a traced mean would block jit caching)
+        delta = float(jnp.mean(weights)) + 1e-9 if weights.size else 1.0
+    return _sssp_delta_jit(g, weights, source, float(delta),
+                           g.nv if max_outer is None else max_outer)
+
+
+@functools.partial(jax.jit, static_argnames=("max_outer",))
+def _sssp_delta_jit(
+    g: DeviceGraph, weights: jnp.ndarray, source: int,
+    delta: float, max_outer: int,
+) -> jnp.ndarray:
     """Delta-stepping SSSP (the reference's omp_dstep.cc / gpu_dstep.cu)
     as a dense bucketed fixpoint.
 
@@ -130,14 +150,8 @@ def sssp_delta_stepping(
     nv = g.nv
     src, dst = g.edge_src, g.col_idx
     inf = jnp.float32(jnp.inf)
-    if delta is None:
-        # mean of an empty weight array is NaN; any positive delta is
-        # correct on an edgeless graph (only the source settles)
-        delta = float(jnp.mean(weights)) + 1e-9 if weights.size else 1.0
     delta = jnp.float32(delta)
     light = weights <= delta
-    max_outer = nv if max_outer is None else max_outer
-
     pull = _has_buckets(g)
 
     def relax(dist, active, mask):
