@@ -24,12 +24,31 @@ def uniform_random(nv: int, ne: int, seed: int = 0, *, undirected: bool = True) 
 
 def rmat(scale: int, edge_factor: int = 16, seed: int = 0,
          a: float = 0.57, b: float = 0.19, c: float = 0.19,
-         *, undirected: bool = True) -> CSRGraph:
+         *, undirected: bool = True, cache: bool = None) -> CSRGraph:
     """RMAT generator (Graph500 parameters by default): power-law degree
     distribution, the skew regime the reference's warp/TWC load balancing
-    targets — and the stress test for our degree-bucketed SpMM."""
+    targets — and the stress test for our degree-bucketed SpMM.
+
+    Large instances are cached on disk (rmat20x32 costs ~4 min of host
+    time to synthesize; benches pay it every run otherwise). Delete
+    ``.rmat_cache/`` to invalidate. ``cache=None`` auto-enables at
+    scale >= 18."""
     nv = 1 << scale
     ne = nv * edge_factor
+    if cache is None:
+        cache = scale >= 18
+    cpath = None
+    if cache:
+        import os
+
+        cdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".rmat_cache")
+        key = (f"rmat_s{scale}_ef{edge_factor}_seed{seed}_"
+               f"a{a}_b{b}_c{c}_{'und' if undirected else 'dir'}.npz")
+        cpath = os.path.join(cdir, key)
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            return CSRGraph(row_ptr=z["row_ptr"], col_idx=z["col_idx"])
     rng = np.random.default_rng(seed)
     src = np.zeros(ne, dtype=np.int64)
     dst = np.zeros(ne, dtype=np.int64)
@@ -44,7 +63,15 @@ def rmat(scale: int, edge_factor: int = 16, seed: int = 0,
         dst |= go_right_dst.astype(np.int64) << bit
     g = from_edges(src, dst, nv)
     g = sort_and_clean(g)
-    return symmetrize(g) if undirected else g
+    g = symmetrize(g) if undirected else g
+    if cpath is not None:
+        import os
+
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        tmp = cpath + ".tmp.npz"
+        np.savez(tmp, row_ptr=g.row_ptr, col_idx=g.col_idx)
+        os.replace(tmp, cpath)
+    return g
 
 
 def grid2d(side: int) -> CSRGraph:

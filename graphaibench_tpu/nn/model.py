@@ -44,20 +44,41 @@ def aggregation_weights(g: CSRGraph, arch: str) -> np.ndarray:
 
 @dataclasses.dataclass
 class GraphBundle:
-    """A prepared graph + its device form + static aggregation weights."""
+    """A prepared graph + its device form + static aggregation weights.
+
+    ``edge_w`` is always the raw (ne,) array (oracle tests compare it).
+    ``packed_w`` is the per-bucket pre-gathered form for archs whose
+    weights are constant over training (GCN/SAGE/GGNN): the runtime
+    w[edge_id] lookup is a scalar gather over a >=128 MB window at
+    million-vertex scale — the single largest cost of the round-1
+    SpMM (see ops.device_graph.PackedEdgeW)."""
 
     host: CSRGraph
     device: DeviceGraph
     edge_w: jnp.ndarray
+    packed_w: object = None
+
+    @property
+    def edge_w_agg(self):
+        """What aggregation call sites should pass as per-edge weights:
+        packed when available, else the raw array."""
+        return self.packed_w if self.packed_w is not None else self.edge_w
 
     @classmethod
     def build(cls, g: CSRGraph, arch: str, *, with_ell: bool = True) -> "GraphBundle":
         prepped = prepare_graph(g, arch)
-        return cls(
-            host=prepped,
-            device=to_device_graph(prepped, with_ell=with_ell),
-            edge_w=jnp.asarray(aggregation_weights(prepped, arch)),
-        )
+        device = to_device_graph(prepped, with_ell=with_ell)
+        edge_w = jnp.asarray(aggregation_weights(prepped, arch))
+        packed = None
+        # GAT re-derives scores per step (packed weights don't apply);
+        # small graphs dispatch to the dense-MXU strategy instead
+        if (arch != "gat" and (device.ell or device.seg_ell is not None)
+                and prepped.nv > 4096):
+            from graphaibench_tpu.ops.device_graph import pack_edge_values
+
+            packed = pack_edge_values(device, edge_w)
+        return cls(host=prepped, device=device, edge_w=edge_w,
+                   packed_w=packed)
 
 
 class Model:
@@ -200,7 +221,7 @@ class Model:
         keys = jax.random.split(sub, n)
         self.params, self.opt_state, losses, accs = self._train_scan(
             self.params, self.opt_state, keys, self.training.device,
-            self.training.edge_w, self.feats, self.labels,
+            self.training.edge_w_agg, self.feats, self.labels,
             self.masks["train"],
         )
         return np.asarray(losses), np.asarray(accs)
@@ -209,7 +230,7 @@ class Model:
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, loss, acc = self._train_step(
             self.params, self.opt_state, sub, self.training.device,
-            self.training.edge_w, self.feats, self.labels,
+            self.training.edge_w_agg, self.feats, self.labels,
             self.masks["train"],
         )
         return float(loss), float(acc)
@@ -346,7 +367,7 @@ class Model:
 
     def evaluate(self, split: str = "test") -> float:
         logits = self._eval_logits(self.params, self.full.device,
-                                   self.full.edge_w, self.feats)
+                                   self.full.edge_w_agg, self.feats)
         begin, end, _ = self.ranges[split]
         idx = jnp.arange(logits.shape[0])
         valid = (idx >= begin) & (idx < end) & (self.masks[split] != 0)

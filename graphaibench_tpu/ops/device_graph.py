@@ -112,6 +112,54 @@ class DeviceGraph:
         return self.trans_perm is not None
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PackedEdgeW:
+    """Per-bucket pre-gathered edge values for STATIC edge weights
+    (GCN norms, SAGE means, GGNN ones — constant for a whole training
+    run).
+
+    Why: at million-vertex scale the runtime ``w_pad[edge_id]`` lookup
+    is a SCALAR gather over a >=128 MB window — measured at half the
+    row rate AND in the slow >64 MB locality regime (~45 M slots/s),
+    which made the per-edge weight fetch cost ~3x the feature gather it
+    feeds (rmat20: 446 ms SpMM of which ~300 ms was the weight gather).
+    Pre-gathering once per graph turns every SpMM into pure fast-window
+    work. The reference's PRECOMPUTE_SCORES/MKL-csrmm path
+    (gcn_aggregator.cpp:27-28) makes the same static-weight assumption.
+
+    ``fwd[i]`` == w_pad[bucket_i.edge_id] for the i-th bucket in
+    ``iter_buckets_sliced`` order; ``t`` is the same layout for the
+    transpose-permuted weights (the SpMM adjoint), or None.
+    ``raw`` keeps the (ne,) array for non-ELL consumers (dense/COO
+    fallbacks, parity tests)."""
+
+    raw: jnp.ndarray
+    fwd: tuple
+    t: Optional[tuple]
+
+    def tree_flatten(self):
+        return (self.raw, self.fwd, self.t), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def pack_edge_values(g: DeviceGraph, w: jnp.ndarray,
+                     *, with_transpose: bool = True) -> PackedEdgeW:
+    """One-time per-bucket pre-gather of static per-edge values (device
+    gathers; ~one slow pass — amortized over every subsequent SpMM)."""
+    zero = jnp.zeros((1,), w.dtype)
+    w_pad = jnp.concatenate([jnp.asarray(w), zero])
+    fwd = tuple(w_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
+    t = None
+    if with_transpose and g.has_transpose:
+        wt_pad = jnp.concatenate([jnp.asarray(w)[g.trans_perm], zero])
+        t = tuple(wt_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
+    return PackedEdgeW(raw=jnp.asarray(w), fwd=fwd, t=t)
+
+
 def iter_buckets_sliced(g: DeviceGraph):
     """Yield (bucket, (lo, hi)) with the gather-table slice bounds the
     bucket's neighbor ids index into; plain ELL yields the whole-table

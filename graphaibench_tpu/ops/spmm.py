@@ -52,7 +52,8 @@ def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Degree-bucketed ELL path. Requires g.ell buckets. Wide feature
     matrices are processed in <=512-byte column slices (the measured
     sweet spot of the TPU gather unit)."""
-    assert g.ell, "DeviceGraph built without ELL buckets"
+    assert g.ell or g.seg_ell is not None, \
+        "DeviceGraph built without ELL buckets"
     f = x.shape[1]
     chunk = max(_GATHER_ROW_BYTES // x.dtype.itemsize, 1)
     if f <= chunk:
@@ -78,31 +79,49 @@ def bucket_row_chunks(b, f: int, cap: int | None = None):
     return [(s, min(s + step, r)) for s in range(0, r, step)]
 
 
-def _accumulate_buckets(out, buckets, w_pad, x):
-    for b in buckets:
+def _packed_view(w):
+    """Per-bucket pre-gathered weights, if ``w`` carries them: a
+    PackedEdgeW (forward view) or a bare tuple (adjoint view)."""
+    from graphaibench_tpu.ops.device_graph import PackedEdgeW
+
+    if isinstance(w, PackedEdgeW):
+        return w.fwd
+    if isinstance(w, tuple):
+        return w
+    return None
+
+
+def _spmm_ell_cols(g: DeviceGraph, w, x: jnp.ndarray) -> jnp.ndarray:
+    """One <=512-byte column slice of the ELL SpMM. ``w`` is a (ne,)
+    array (runtime per-edge values, e.g. GAT scores) or a packed
+    per-bucket view (static weights — skips the scalar edge-id gather,
+    which at rmat20 scale cost ~3x the feature gather; see
+    PackedEdgeW)."""
+    from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+
+    packed = _packed_view(w)
+    out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
+    if packed is None:
+        w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel
+    for i, (b, (lo, hi)) in enumerate(iter_buckets_sliced(g)):
+        # column-segmented layout: every gather stays inside one x slice
+        # (the <=64 MB fast-gather window, measured round 2)
+        xs = x if (lo, hi) == (0, g.nv) else x[lo:hi]
         chunks = bucket_row_chunks(b, x.shape[1])
-        for lo, hi in chunks:
+        for clo, chi in chunks:
             whole = len(chunks) == 1
-            eid = b.edge_id if whole else b.edge_id[lo:hi]
-            nbr = b.nbr if whole else b.nbr[lo:hi]
-            rows = b.row_ids if whole else b.row_ids[lo:hi]
-            contrib = jnp.einsum("rw,rwf->rf", w_pad[eid], x[nbr])
+            nbr = b.nbr if whole else b.nbr[clo:chi]
+            rows = b.row_ids if whole else b.row_ids[clo:chi]
+            if packed is None:
+                eid = b.edge_id if whole else b.edge_id[clo:chi]
+                wb = w_pad[eid]
+            else:
+                wb = packed[i] if whole else packed[i][clo:chi]
+            contrib = jnp.einsum("rw,rwf->rf", wb, xs[nbr])
             # add, not set: heavy rows are split across several virtual
             # rows (same cost as set, measured)
             out = out.at[rows].add(contrib)
     return out
-
-
-def _spmm_ell_cols(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
-    w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel slot
-    if g.seg_ell is not None:
-        # column-segmented layout: every gather stays inside one x slice
-        # (the fast-gather window; +39% at 1M vertices, CLAUDE.md)
-        for (lo, hi), buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
-            out = _accumulate_buckets(out, buckets, w_pad, x[lo:hi])
-        return out
-    return _accumulate_buckets(out, g.ell, w_pad, x)
 
 
 def spmm_dense(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -139,15 +158,12 @@ def _zero_cotangent(g: DeviceGraph):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def spmm(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
-    """Differentiable SpMM. ``g`` must be structurally symmetric for the
-    custom adjoint (all reference GNN graphs are); use the raw strategy
-    functions for asymmetric topologies."""
+def _spmm_diff(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     return _IMPLS[_pick_impl(g, impl)](g, w, x)
 
 
 def _spmm_fwd(g, w, x, impl):
-    return spmm(g, w, x, impl), (g, w, x)
+    return _spmm_diff(g, w, x, impl), (g, w, x)
 
 
 def _spmm_bwd(impl, res, ct):
@@ -161,7 +177,49 @@ def _spmm_bwd(impl, res, ct):
     return (_zero_cotangent(g), dw, dx)
 
 
-spmm.defvjp(_spmm_fwd, _spmm_bwd)
+_spmm_diff.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+@jax.custom_vjp
+def _spmm_packed(g: DeviceGraph, wp, x: jnp.ndarray) -> jnp.ndarray:
+    return spmm_ell(g, wp, x)
+
+
+def _spmm_packed_fwd(g, wp, x):
+    return spmm_ell(g, wp, x), (g, wp, x)
+
+
+def _spmm_packed_bwd(res, ct):
+    from graphaibench_tpu.ops.device_graph import PackedEdgeW
+
+    g, wp, x = res
+    assert wp.t is not None, "PackedEdgeW built without transpose view"
+    # adjoint aggregation on the pre-gathered transpose view: no scalar
+    # edge-id gather on the backward pass either
+    dx = spmm_ell(g, wp.t, ct)
+    # raw-weight cotangent (an SDDMM); the packed views carry none —
+    # they are derived data. XLA DCEs this when w is a training constant
+    # (the GCN/SAGE/GGNN case).
+    dwp = PackedEdgeW(raw=sddmm_dot(g, ct, x),
+                      fwd=jax.tree.map(jnp.zeros_like, wp.fwd),
+                      t=jax.tree.map(jnp.zeros_like, wp.t))
+    return (_zero_cotangent(g), dwp, dx)
+
+
+_spmm_packed.defvjp(_spmm_packed_fwd, _spmm_packed_bwd)
+
+
+def spmm(g: DeviceGraph, w, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    """Differentiable SpMM. ``g`` must be structurally symmetric for the
+    custom adjoint (all reference GNN graphs are); use the raw strategy
+    functions for asymmetric topologies. ``w`` is a (ne,) per-edge value
+    array or a PackedEdgeW of static pre-gathered weights (the fast path
+    for GCN/SAGE/GGNN at scale)."""
+    from graphaibench_tpu.ops.device_graph import PackedEdgeW
+
+    if isinstance(w, PackedEdgeW):
+        return _spmm_packed(g, w, x)
+    return _spmm_diff(g, w, x, impl)
 
 
 def sddmm_dot(g: DeviceGraph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -387,3 +387,72 @@ def test_gat_v2_in_model_matches_unfused_model():
     out_v1 = apply_model(cfg, params, gb.device, gb.edge_w, x, trivial_w=False)
     np.testing.assert_allclose(np.asarray(out_v2), np.asarray(out_v1),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_spmm_packed_weights_match_raw():
+    """PackedEdgeW (pre-gathered static weights) must agree with the
+    runtime w[edge_id] path — values AND gradients — on a graph large
+    enough to take the ELL strategy, for both the plain and the
+    column-segmented layouts."""
+    import dataclasses as _dc
+
+    import jax
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.ops.device_graph import (
+        build_seg_ell, pack_edge_values, to_device_graph,
+    )
+    from graphaibench_tpu.ops.spmm import spmm
+
+    g = T.add_selfloop(rmat(13, 8, seed=3))       # 8192 v > dense cutoff
+    w = jnp.asarray(T.gcn_edge_norms(g))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.nv, 24)).astype(np.float32))
+
+    for seg in (False, True):
+        dg = to_device_graph(g, seg_ell=False)
+        if seg:
+            dg = _dc.replace(dg, seg_ell=build_seg_ell(g, seg_rows=2048))
+        wp = pack_edge_values(dg, w)
+        ref = spmm(dg, w, x, "ell")
+        out = spmm(dg, wp, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # gradient w.r.t. x through the packed custom VJP
+        f_raw = lambda xx: spmm(dg, w, xx, "ell").sum()
+        f_pk = lambda xx: spmm(dg, wp, xx).sum()
+        g_raw = jax.grad(f_raw)(x)
+        g_pk = jax.grad(f_pk)(x)
+        np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_raw),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_model_packed_weights_end_to_end():
+    """A Model on an >4096-vertex graph (packed weights engaged) trains
+    identically to one with packing disabled."""
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.layers import ModelConfig
+    from graphaibench_tpu.nn.model import Model
+
+    g = rmat(13, 8, seed=1)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, g.nv, g.nv)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=4,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=16, dim_hid=8,
+                      num_cls=4, lr=0.01)
+    m_packed = Model(cfg, ds)
+    assert m_packed.full.packed_w is not None
+    m_raw = Model(cfg, ds)
+    m_raw.full.packed_w = None
+    m_raw.training.packed_w = None
+    l1, _ = m_packed.train_epoch()
+    l2, _ = m_raw.train_epoch()
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)

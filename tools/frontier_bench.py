@@ -1,0 +1,84 @@
+"""Frontier-analytics warm timings at scale (VERDICT r1 item 5 smoke).
+
+Times BFS / CC / PageRank / k-core / BC-single-source on an rmat graph
+with the graph device-resident, comparing the integrated pull-mode (ELL
+row-reduce) solvers against the round-1 baseline numbers (~1.0-1.1 s
+each at rmat19, scatter-per-sweep).
+
+Warm protocol: first call compiles + runs; the next 3 calls are timed
+with the result fetched (median). Solvers are jitted at the def site so
+repeat calls hit the compile cache (commit 4b0166f).
+
+  python tools/frontier_bench.py [--scale 19] [--which bfs,cc,pr,kcore,bc]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, n=3):
+    out = fn()
+    _ = np.asarray(out).ravel()[:1]     # compile + force
+    ts = []
+    for _k in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        _ = np.asarray(out).ravel()[:1]
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=19)
+    ap.add_argument("--ef", type=int, default=30)
+    ap.add_argument("--which", default="bfs,cc,pr,kcore,bc")
+    args = ap.parse_args()
+    which = set(args.which.split(","))
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+
+    g = rmat(args.scale, args.ef, seed=0)
+    dg = to_device_graph(g, with_transpose=False)
+    results = {"graph": f"rmat{args.scale} nv={g.nv} ne={g.ne}"}
+
+    if "bfs" in which:
+        from graphaibench_tpu.analytics.traversal import bfs
+        dt, depth = timed(lambda: bfs(dg, 0))
+        results["bfs_s"] = round(dt, 4)
+        results["bfs_reached"] = int(np.sum(np.asarray(depth) >= 0))
+    if "cc" in which:
+        from graphaibench_tpu.analytics.cc import connected_components
+        dt, labels = timed(lambda: connected_components(dg))
+        results["cc_s"] = round(dt, 4)
+        results["cc_n"] = int(len(np.unique(np.asarray(labels))))
+    if "pr" in which:
+        from graphaibench_tpu.analytics.pr import pagerank
+        dt, pr = timed(lambda: pagerank(dg)[0])
+        results["pr_s"] = round(dt, 4)
+    if "kcore" in which:
+        from graphaibench_tpu.analytics.kcore import k_core
+        dt, core = timed(lambda: k_core(dg))
+        results["kcore_s"] = round(dt, 4)
+        results["kcore_max"] = int(np.asarray(core).max())
+    if "bc" in which:
+        from graphaibench_tpu.analytics.bc import bc_single_source
+        dt, bc = timed(lambda: bc_single_source(dg, 0))
+        results["bc_s"] = round(dt, 4)
+
+    print(json.dumps(results), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
