@@ -209,6 +209,57 @@ def build_shard_ell(sg, split: Optional[int] = None,
     return ShardEll(fwd=fwd, trans=trans, sentinel=e_max)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardPackedW:
+    """Pre-gathered static edge weights for the sharded kernels — the
+    stacked twin of ops.device_graph.PackedEdgeW. ``fwd[i]`` aligns with
+    se.fwd[i] (and ``t`` with se.trans): (P, R, W) stacked, or (R, W)
+    after local stripping. Kills the runtime w_pad[edge_id] scalar
+    gather (measured: half row rate AND the slow >64 MB window at
+    million-edge shards) from GCN/SAGE forward+backward aggregation."""
+
+    fwd: tuple
+    t: tuple
+
+    def tree_flatten(self):
+        return (self.fwd, self.t), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(fwd=children[0], t=children[1])
+
+
+def pack_shard_values(se: ShardEll, w: np.ndarray) -> ShardPackedW:
+    """Host-side pre-gather: ``w`` is the stacked (P, e_max) slot-value
+    array (sg.edge_w). Runs in numpy at build time — no device gathers."""
+    w = np.asarray(w)
+    w_pad = np.concatenate([w, np.zeros((w.shape[0], 1), w.dtype)], axis=1)
+
+    def pk(buckets):
+        out = []
+        for bk in buckets:
+            b, _ = _unwrap(bk)
+            eid = np.asarray(b.edge_id)          # (P, R, W)
+            flat = np.take_along_axis(w_pad, eid.reshape(eid.shape[0], -1),
+                                      axis=1)
+            out.append(flat.reshape(eid.shape))
+        return tuple(out)
+
+    return ShardPackedW(fwd=pk(se.fwd), t=pk(se.trans))
+
+
+def local_packed_w(wp: ShardPackedW) -> ShardPackedW:
+    """Strip the leading length-1 block axis shard_map hands each shard."""
+    return jax.tree.map(lambda a: a[0], wp)
+
+
+def packed_w_specs(wp: ShardPackedW, axis: str):
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree.map(lambda a: P(axis, *([None] * (a.ndim - 1))), wp)
+
+
 # ---------------------------------------------------------------------------
 # slot-space kernels (run INSIDE shard_map on a stripped ShardEll)
 # ---------------------------------------------------------------------------
@@ -251,6 +302,46 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
             out = out.at[rows].add(
                 jnp.einsum("rw,rwf->rf", w_pad[eid], xs[nbr]))
     return out
+
+
+def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
+                      n_out: int) -> jnp.ndarray:
+    """out[r] += sum_w packed[i] * x[nbr]: the pre-gathered-weight twin
+    of _ell_apply — no per-slot edge-id gather at all."""
+    out = jnp.zeros((n_out, x.shape[1]), x.dtype)
+    for i, bk in enumerate(buckets):
+        b, sl = _unwrap(bk)
+        xs = x if sl is None else x[sl[0]:sl[1]]
+        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+            whole = (lo, hi) == (0, b.nbr.shape[0])
+            rows = b.row_ids if whole else b.row_ids[lo:hi]
+            nbr = b.nbr if whole else b.nbr[lo:hi]
+            wb = packed[i] if whole else packed[i][lo:hi]
+            out = out.at[rows].add(jnp.einsum("rw,rwf->rf", wb, xs[nbr]))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def slot_spmm_packed(n_out: int, se: ShardEll, wp: ShardPackedW,
+                     x: jnp.ndarray) -> jnp.ndarray:
+    """Rectangular sharded SpMM on pre-gathered STATIC weights
+    (GCN/SAGE aggregation norms — constant over training). Only ``x``
+    carries a gradient; the weight cotangent is zero by construction
+    (use slot_spmm for runtime-differentiable per-edge values)."""
+    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out)
+
+
+def _slot_spmm_packed_fwd(n_out, se, wp, x):
+    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out), (se, wp, x)
+
+
+def _slot_spmm_packed_bwd(n_out, res, ct):
+    se, wp, x = res
+    dx = _ell_apply_packed(se.trans, wp.t, ct, x.shape[0])
+    return (_zero_cotangent(se), _zero_cotangent(wp), dx)
+
+
+slot_spmm_packed.defvjp(_slot_spmm_packed_fwd, _slot_spmm_packed_bwd)
 
 
 def _slot_sddmm_dot(ct: jnp.ndarray, x: jnp.ndarray, edge_src, col_idx):

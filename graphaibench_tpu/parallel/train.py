@@ -28,13 +28,18 @@ from graphaibench_tpu.parallel.halo import AXIS, halo_exchange, sharded_spmm_loc
 from graphaibench_tpu.parallel.partition import ShardedGraph, pad_rows
 from graphaibench_tpu.parallel.shard_ell import (
     ShardEll,
+    ShardPackedW,
     build_shard_ell,
     gat_fused_local,
     gat_fused_local_v2,
+    local_packed_w,
     local_shard_ell,
+    pack_shard_values,
+    packed_w_specs,
     shard_ell_specs,
     slot_sddmm_add,
     slot_spmm,
+    slot_spmm_packed,
 )
 
 
@@ -51,13 +56,16 @@ def _local_segment_softmax(edge_src, logits, valid, nv_pad):
 
 
 def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
-                         se: ShardEll | None = None):
+                         se: ShardEll | None = None,
+                         wp: ShardPackedW | None = None):
     """Per-shard forward of the gconv stack. ``ga`` holds this shard's
     graph arrays (leading axis already stripped). With ``se`` (the
     stripped per-shard ELL layouts) the aggregation, GAT logits, and GAT
     softmax all run on the tuned degree-bucketed kernels instead of
     gather+segment_sum/max (CLAUDE.md: the segment scatters are the
-    measured-slow primitive on TPU)."""
+    measured-slow primitive on TPU). ``wp`` (pre-gathered static
+    weights) additionally removes the per-slot w[edge_id] scalar gather
+    from the GCN/SAGE aggregation fwd+bwd."""
     nv_pad = x_own.shape[0]
 
     def exchange(h):
@@ -72,6 +80,8 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
                                   h_ext, nv_pad)
 
     def aggregate(h):
+        if wp is not None and wp.fwd:
+            return slot_spmm_packed(nv_pad, se, wp, exchange(h))
         return aggregate_w(exchange(h), ga["edge_w"])
 
     h = x_own
@@ -172,6 +182,15 @@ def make_sharded_trainer(
     se_dev = jax.tree.map(
         lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
         se_host, se_spec)
+    # pre-gathered static weights (GCN/SAGE/GGNN norms; GAT derives
+    # scores per step, so gets none)
+    wp_host = (pack_shard_values(se_host, sg.edge_w)
+               if use_ell and se_host.fwd and cfg.arch != "gat"
+               else ShardPackedW((), ()))
+    wp_spec = packed_w_specs(wp_host, axis)
+    wp_dev = jax.tree.map(
+        lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
+        wp_host, wp_spec)
 
     def _strip(ga):
         return {
@@ -183,9 +202,9 @@ def make_sharded_trainer(
             "halo_map": ga["halo_map"][0],
         }
 
-    def local_loss(params, x_own, lab_own, valid_own, ga, se):
+    def local_loss(params, x_own, lab_own, valid_own, ga, se, wp):
         logits = _local_gconv_forward(cfg, params, _strip(ga), x_own,
-                                      axis=axis, se=se)
+                                      axis=axis, se=se, wp=wp)
         probs = jax.nn.softmax(logits, axis=-1)
         onehot = jax.nn.one_hot(lab_own, logits.shape[-1], dtype=logits.dtype)
         ce = gmath.cross_entropy(onehot, probs)
@@ -194,11 +213,13 @@ def make_sharded_trainer(
         # reference gradient scaling: / (end - begin)
         return total / max(end - begin, 1)
 
-    def local_step(params, opt_state, x_own, lab_own, valid_own, se, *ga_flat):
+    def local_step(params, opt_state, x_own, lab_own, valid_own, se, wp,
+                   *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         loss, grads = jax.value_and_grad(local_loss)(
-            params, x_own, lab_own, valid_own, ga, local_shard_ell(se)
+            params, x_own, lab_own, valid_own, ga, local_shard_ell(se),
+            local_packed_w(wp)
         )
         grads = jax.lax.psum(grads, axis)
         new_params, new_opt = opt.update(grads, opt_state, params)
@@ -212,8 +233,8 @@ def make_sharded_trainer(
     step_sm = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P(axis), se_spec)
-        + ga_specs,
+        in_specs=(P(), P(), P(axis, None), P(axis), P(axis), se_spec,
+                  wp_spec) + ga_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
@@ -229,15 +250,15 @@ def make_sharded_trainer(
 
     def train_step(params, opt_state):
         return _step_jit(params, opt_state, x_d, lab_d, valid_d, se_dev,
-                         *ga_args)
+                         wp_dev, *ga_args)
 
     import functools as _ft
 
     @_ft.partial(jax.jit, static_argnums=0)
-    def _steps_jit(n, params, opt_state, x, lab, valid, se, *ga):
+    def _steps_jit(n, params, opt_state, x, lab, valid, se, wp, *ga):
         def body(carry, _):
             p, o = carry
-            p, o, loss = step_sm(p, o, x, lab, valid, se, *ga)
+            p, o, loss = step_sm(p, o, x, lab, valid, se, wp, *ga)
             return (p, o), loss
         (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
                                       length=n)
@@ -245,18 +266,19 @@ def make_sharded_trainer(
 
     def train_steps(params, opt_state, n):
         return _steps_jit(n, params, opt_state, x_d, lab_d, valid_d,
-                          se_dev, *ga_args)
+                          se_dev, wp_dev, *ga_args)
 
-    def local_logits(params, x_own, se, *ga_flat):
+    def local_logits(params, x_own, se, wp, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis,
-                                    se=local_shard_ell(se))
+                                    se=local_shard_ell(se),
+                                    wp=local_packed_w(wp))
 
     logits_sm = jax.shard_map(
         local_logits,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), se_spec) + ga_specs,
+        in_specs=(P(), P(axis, None), se_spec, wp_spec) + ga_specs,
         out_specs=P(axis, None),
         check_vma=False,
     )
@@ -264,7 +286,7 @@ def make_sharded_trainer(
     _logits_jit = jax.jit(logits_sm)
 
     def eval_logits(params):
-        return _logits_jit(params, x_d, se_dev, *ga_args)[:nv]
+        return _logits_jit(params, x_d, se_dev, wp_dev, *ga_args)[:nv]
 
     return ShardedTrainer(mesh=mesh, train_step=train_step,
                           eval_logits=eval_logits, nv=nv,

@@ -106,6 +106,13 @@ def main():
                 out = out.at[b.row_ids].add(wp[b.edge_id].sum(axis=1))
         return out
     report("c_weight_gather_only", bench_chained(w_only, x))
+
+    # d: packed static weights (the production GCN/SAGE path)
+    from graphaibench_tpu.ops.device_graph import pack_edge_values
+
+    wp = pack_edge_values(dg, w_d, with_transpose=False)
+    report("d_spmm_packed_w",
+           bench_chained(lambda v: spmm_ell(dg, wp, v), x))
     return 0
 
 
