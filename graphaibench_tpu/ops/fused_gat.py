@@ -169,15 +169,36 @@ from graphaibench_tpu.ops.device_graph import (
 # 8..512 BYTES and drops ~3.7x past 512 B (measured, round 2); pure
 # scalar gathers run at HALF the row rate (115 vs 232 M/s), so even a
 # 2-column packed table doubles scalar-gather throughput.
-_GATHER_MAX_COLS = 128
+_GATHER_MAX_BYTES = 512
 
 
-def _col_chunks(total: int):
-    """Split a packed gather of ``total`` f32 columns into equal chunks
-    that each stay within the 512-byte fast-gather row budget."""
-    n = -(-total // _GATHER_MAX_COLS)
+def _col_chunks(total: int, itemsize: int = 4):
+    """Split a packed gather of ``total`` columns of ``itemsize`` bytes
+    into equal chunks that each stay within the 512-byte fast-gather
+    row budget."""
+    max_cols = max(_GATHER_MAX_BYTES // itemsize, 1)
+    n = -(-total // max_cols)
     step = -(-total // n)
     return [(lo, min(lo + step, total)) for lo in range(0, total, step)]
+
+
+# Gathered-operand dtype for the v2 passes on LARGE graphs: bf16 halves
+# bytes/row, so the (1+F)-column packed table fits ONE <=512 B gather
+# chunk where f32 needs two (the engine is ROW-rate-bound, so chunk
+# count ~= cost), and the per-segment gather view drops from ~66 MB to
+# ~33 MB — back inside the measured <=64 MB fast-locality window.
+# Accumulation stays f32 (bf16 operands promote on use); only the
+# gathered h / attention-scalar values round to bf16. Gated on the same
+# threshold as the seg-ELL layout so small-graph parity stays exact.
+V2_GATHER_BF16 = True
+
+
+def _v2_gather_dtype(g: DeviceGraph, base):
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    if V2_GATHER_BF16 and g.nv >= SEG_ELL_MIN_NV and base == jnp.float32:
+        return jnp.bfloat16
+    return base
 
 
 def _bucket_views(b, clo, chi):
@@ -260,8 +281,9 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
 
     seq = g.nv >= SEG_ELL_MIN_NV
     f = h.shape[1]
-    xa = jnp.concatenate([sr[:, None], h], axis=1)        # (nv, 1+F)
-    chunks = _col_chunks(f + 1)
+    gdt = _v2_gather_dtype(g, h.dtype)
+    xa = jnp.concatenate([sr[:, None], h], axis=1).astype(gdt)  # (nv, 1+F)
+    chunks = _col_chunks(f + 1, jnp.dtype(gdt).itemsize)
     acc = jnp.zeros((g.nv, f + 1), h.dtype)
     for b, (lo, hi) in _iter_buckets_sliced(g):
         xs = xa[lo:hi]
@@ -323,9 +345,10 @@ def _v2_bwd(res, ct):
     inner = jnp.sum(ct * out, axis=1)
 
     # pass B1 (fwd layout): d_sl[i] = sum_j p_ij (dsw_ij - inner_i) l'
-    # packed [sr | h], gathered in <=128-col chunks (512 B fast window)
-    xa = jnp.concatenate([sr[:, None], h], axis=1)
-    chunks1 = _col_chunks(f + 1)
+    # packed [sr | h], gathered in <=512-byte chunks (bf16 at scale)
+    gdt = _v2_gather_dtype(g, h.dtype)
+    xa = jnp.concatenate([sr[:, None], h], axis=1).astype(gdt)
+    chunks1 = _col_chunks(f + 1, jnp.dtype(gdt).itemsize)
     dsl = jnp.zeros((g.nv,), sl.dtype)
     for b, (lo, hi) in _iter_buckets_sliced(g):
         xs = xa[lo:hi]
@@ -353,8 +376,9 @@ def _v2_bwd(res, ct):
     #   d_h[j]  = sum_i p ct_i        d_sr[j] = sum_i dlraw_ij
     # packed [sl, m, zinv, inner | ct] chunked the same way
     tb = jnp.concatenate(
-        [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct], axis=1)
-    chunks2 = _col_chunks(f + 4)
+        [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct],
+        axis=1).astype(gdt)
+    chunks2 = _col_chunks(f + 4, jnp.dtype(gdt).itemsize)
     dh = jnp.zeros((g.nv, f), h.dtype)
     dsr = jnp.zeros((g.nv,), sr.dtype)
     for b, (lo, hi) in _iter_buckets_sliced(g):

@@ -367,6 +367,51 @@ def test_gat_v2_matches_v1_with_grads():
                                        rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+def test_gat_v2_bf16_gathers_close_to_f32():
+    """The large-graph bf16 gathered-operand mode (halves gather rows:
+    one <=512 B chunk instead of two) must track the f32 path within
+    bf16 tolerance in values and gradients. Forced on a small graph by
+    dropping the size gate."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops import device_graph as dgm
+    from graphaibench_tpu.ops import fused_gat as fg
+    from graphaibench_tpu.ops.device_graph import build_seg_ell, to_device_graph
+
+    g = rmat(8, 8, seed=5)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
+    dgs = dataclasses.replace(dg, seg_ell=build_seg_ell(g, seg_rows=64))
+    rng = np.random.default_rng(1)
+    # 129 columns at f32 would need 2 chunks; at bf16 exactly one
+    h = jnp.asarray(rng.standard_normal((g.nv, 128)).astype(np.float32))
+    sl = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    sr = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+
+    def run_all(d):
+        out = fg.gat_attention_spmm_v2(d, sl, sr, h)
+        loss = lambda a, b, x: (fg.gat_attention_spmm_v2(d, a, b, x) ** 2).sum()
+        return (out, *jax.grad(loss, argnums=(0, 1, 2))(sl, sr, h))
+
+    saved = dgm.SEG_ELL_MIN_NV
+    try:
+        for d in (dg, dgs):
+            ref = run_all(d)            # gate above g.nv -> f32 path
+            dgm.SEG_ELL_MIN_NV = 0      # force bf16 gathers (+ seq barriers)
+            got = run_all(d)
+            dgm.SEG_ELL_MIN_NV = saved
+            for a, b, name in zip(got, ref, ("out", "dsl", "dsr", "dh")):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = np.abs(b).max() + 1e-6
+                np.testing.assert_allclose(a / scale, b / scale, atol=3e-2,
+                                           err_msg=name)
+    finally:
+        dgm.SEG_ELL_MIN_NV = saved
+
+
 def test_gat_v2_in_model_matches_unfused_model():
     """End-to-end: a GAT Model forward with trivial_w=True (v2 path) must
     match trivial_w=False (v1/sddmm path) on identical params."""
