@@ -60,8 +60,9 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((nv, feat)).astype(np.float32))
 
-    # SpMM throughput (best strategy for this size: ELL)
-    dt = _bench_looped(lambda i, v: spmm_ell(gb.device, gb.edge_w, v), x, 20)
+    # SpMM throughput (best strategy for this size: ELL; packed static
+    # weights = the production training path, see GraphBundle.edge_w_agg)
+    dt = _bench_looped(lambda i, v: spmm_ell(gb.device, gb.edge_w_agg, v), x, 20)
     edges_per_s = ne / dt
     slots = sum(b.nbr.size for b in gb.device.ell)
 
@@ -114,7 +115,7 @@ def main():
     gb20 = GraphBundle.build(g20, "gcn")
     x20 = jnp.asarray(rng.standard_normal((g20.nv, feat)).astype(np.float32))
     dt20 = _bench_looped(
-        lambda i, v: spmm_ell(gb20.device, gb20.edge_w, v), x20, 5)
+        lambda i, v: spmm_ell(gb20.device, gb20.edge_w_agg, v), x20, 5)
     labels20 = rng.integers(0, 16, g20.nv).astype(np.int32)
     mask20 = np.ones(g20.nv, dtype=np.uint8)
     tr20 = (0, g20.nv, g20.nv)
