@@ -54,7 +54,10 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             try:
                 g = cgr_decode_device(cg)
                 print("decoded cgr on device")
-            except ValueError as e:  # interval/tiny-segment streams
+            # ValueError: interval/tiny-segment streams; AssertionError:
+            # streams past the int32 bit-position / trip-grid limits —
+            # all handled fine by the host decoder
+            except (ValueError, AssertionError) as e:
                 from graphaibench_tpu.compress.cli import decode_any
 
                 g = decode_any(cg)
@@ -74,6 +77,17 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         g = load_graph(dataset_path, with_elabels=(kernel == "cf"),
                        with_vlabels=(kernel == "fsm"))
     print(f"|V| {g.nv} |E| {g.ne}")
+    if kernel in ("bfs", "sssp", "pr", "cc", "bc", "kcore"):
+        # pull-mode frontier kernels (ELL neighbor_reduce over row
+        # buckets) assume a structurally symmetric graph; on directed
+        # inputs keep the scatter push formulation, which stays correct
+        from graphaibench_tpu.graph.transforms import is_symmetric
+
+        pull_ok = is_symmetric(g)
+        if not pull_ok:
+            print("directed input: push/scatter kernels (no pull ELL)")
+    else:
+        pull_ok = False
     t0 = time.perf_counter()
     ok = None
 
@@ -86,7 +100,7 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             ok = n == verifiers.triangle_count_serial(orientation(g))
     elif kernel == "bfs":
         source = int(args[0]) if args else 0
-        dg = to_device_graph(g, with_transpose=False, with_ell=True)
+        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
         dist = np.asarray(bfs(dg, source))
         dt = time.perf_counter() - t0
         print(f"reached = {(dist >= 0).sum()}, max_depth = {dist.max()}")
@@ -95,13 +109,13 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         source = int(args[0]) if args else 0
         w = (np.asarray(g.elabels, dtype=np.float32)
              if g.elabels is not None else np.ones(g.ne, np.float32))
-        dg = to_device_graph(g, with_transpose=False, with_ell=True)
+        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
         dist = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), source))
         dt = time.perf_counter() - t0
         ref = verifiers.dijkstra_serial(g, w, source)
         ok = np.allclose(dist, ref, rtol=1e-5, equal_nan=True)
     elif kernel == "pr":
-        dg = to_device_graph(g, with_transpose=False, with_ell=True)
+        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
         scores, iters = pagerank(dg)
         scores = np.asarray(scores)
         dt = time.perf_counter() - t0
@@ -109,7 +123,7 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         ref = verifiers.pagerank_serial(g, g)
         ok = np.allclose(scores, ref, atol=1e-4)
     elif kernel == "cc":
-        dg = to_device_graph(g, with_transpose=False, with_ell=True)
+        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
         comp = np.asarray(connected_components(dg))
         dt = time.perf_counter() - t0
         print(f"num_components = {len(np.unique(comp))}")
@@ -117,12 +131,12 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         ok = np.array_equal(comp, ref)
     elif kernel == "bc":
         source = int(args[0]) if args else 0
-        dg = to_device_graph(g, with_transpose=False, with_ell=True)
+        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
         scores = np.asarray(bc_single_source(dg, source))
         dt = time.perf_counter() - t0
         ok = np.allclose(scores, verifiers.bc_serial(g, [source]), rtol=1e-4)
     elif kernel == "kcore":
-        dg = to_device_graph(g, with_transpose=False, with_ell=True)
+        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
         core = np.asarray(k_core(dg))
         dt = time.perf_counter() - t0
         print(f"max_coreness = {core.max()}")

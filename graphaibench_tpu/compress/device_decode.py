@@ -192,8 +192,14 @@ def decode_hybrid_device(hg) -> CSRGraph:
         lane_v = low.astype(np.int32)
         order = np.argsort(counts, kind="stable")
         sc = counts[order]
-        trips = [t for t in (8, 32, 128, 512, 2048)
-                 if t < 4 * max(hg.threshold, 2)]
+        grid = (8, 32, 128, 512, 2048)
+        trips = [t for t in grid if t < 4 * max(hg.threshold, 2)]
+        # the 4x-threshold cap is a compile-size heuristic; it must never
+        # leave max low degree (threshold-1) uncovered — e.g. threshold=2
+        # used to yield an empty grid and fail the lane-coverage assert
+        while len(trips) < len(grid) and (
+                not trips or trips[-1] < hg.threshold - 1):
+            trips.append(grid[len(trips)])
         lo = 0
         for trip in trips:
             hi = np.searchsorted(sc, trip, side="right")

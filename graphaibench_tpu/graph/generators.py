@@ -68,7 +68,9 @@ def rmat(scale: int, edge_factor: int = 16, seed: int = 0,
         import os
 
         os.makedirs(os.path.dirname(cpath), exist_ok=True)
-        tmp = cpath + ".tmp.npz"
+        # pid-unique tmp so concurrent generators (bench + a tool) never
+        # interleave writes into one file; os.replace stays atomic
+        tmp = f"{cpath}.tmp{os.getpid()}.npz"
         np.savez(tmp, row_ptr=g.row_ptr, col_idx=g.col_idx)
         os.replace(tmp, cpath)
     return g

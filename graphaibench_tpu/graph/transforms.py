@@ -42,6 +42,17 @@ def symmetrize(g: CSRGraph) -> CSRGraph:
     return from_edges(uniq[:, 0], uniq[:, 1], g.nv)
 
 
+def is_symmetric(g: CSRGraph) -> bool:
+    """True iff every edge (u, v) has its reverse (v, u). Pull-mode
+    frontier kernels (neighbor_reduce over row buckets) are only valid
+    on structurally symmetric graphs — the CLI uses this to gate them
+    (the push scatter formulation stays correct on directed inputs)."""
+    src, dst = g.coo()
+    fwd = src.astype(np.int64) * g.nv + dst
+    rev = dst.astype(np.int64) * g.nv + src
+    return np.array_equal(np.sort(fwd), np.sort(rev))
+
+
 def sort_and_clean(g: CSRGraph) -> CSRGraph:
     """Sort adjacency lists, remove duplicate edges and selfloops
     (GraphT sort/clean, graph.cc:237-280)."""

@@ -65,15 +65,21 @@ class GraphBundle:
         return self.packed_w if self.packed_w is not None else self.edge_w
 
     @classmethod
-    def build(cls, g: CSRGraph, arch: str, *, with_ell: bool = True) -> "GraphBundle":
+    def build(cls, g: CSRGraph, arch: str, *, with_ell: bool = True,
+              spmm_impl: str = "auto") -> "GraphBundle":
+        from graphaibench_tpu.ops.spmm import _pick_impl
+
         prepped = prepare_graph(g, arch)
         device = to_device_graph(prepped, with_ell=with_ell)
         edge_w = jnp.asarray(aggregation_weights(prepped, arch))
         packed = None
         # GAT re-derives scores per step (packed weights don't apply);
-        # small graphs dispatch to the dense-MXU strategy instead
+        # small graphs dispatch to the dense-MXU strategy instead. An
+        # explicitly requested non-ELL spmm_impl also skips packing —
+        # packed weights only feed the ELL path.
         if (arch != "gat" and (device.ell or device.seg_ell is not None)
-                and prepped.nv > 4096):
+                and prepped.nv > 4096
+                and _pick_impl(device, spmm_impl) == "ell"):
             from graphaibench_tpu.ops.device_graph import pack_edge_values
 
             packed = pack_edge_values(device, edge_w)
@@ -102,10 +108,12 @@ class Model:
         self.cfg = cfg
         self.data = data
         self.inductive = inductive
-        self.full = GraphBundle.build(data.graph, cfg.arch, with_ell=with_ell)
+        self.full = GraphBundle.build(data.graph, cfg.arch, with_ell=with_ell,
+                                      spmm_impl=cfg.spmm_impl)
         if inductive:
             masked = T.masked_subgraph(data.graph, data.train_mask)
-            self.training = GraphBundle.build(masked, cfg.arch, with_ell=with_ell)
+            self.training = GraphBundle.build(masked, cfg.arch, with_ell=with_ell,
+                                              spmm_impl=cfg.spmm_impl)
         else:
             self.training = self.full
 

@@ -218,7 +218,12 @@ def spmm(g: DeviceGraph, w, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     from graphaibench_tpu.ops.device_graph import PackedEdgeW
 
     if isinstance(w, PackedEdgeW):
-        return _spmm_packed(g, w, x)
+        if _pick_impl(g, impl) == "ell":
+            return _spmm_packed(g, w, x)
+        # an explicitly requested non-ELL strategy (impl sweeps /
+        # ablations) wins over the packed fast path: fall back to the
+        # raw (ne,) weights so the measured strategy is the labeled one
+        w = w.raw
     return _spmm_diff(g, w, x, impl)
 
 

@@ -423,7 +423,9 @@ def _norm_consts_local(se: ShardEll, logits, n_out):
         b, _ = _unwrap(bk)
         eb = jnp.exp(l_pad[b.edge_id] - m[b.row_ids][:, None])
         denom = denom.at[b.row_ids].add(eb.sum(axis=1))
-    z = 1.0 / jnp.maximum(denom, 1e-38)
+    # NORMAL f32 floor: 1e-38 is subnormal and flushes to zero under XLA,
+    # making z=inf on edgeless rows (CLAUDE.md round-2 rule)
+    z = 1.0 / jnp.maximum(denom, 1e-30)
     return m, z
 
 
@@ -493,10 +495,32 @@ gat_fused_local.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _col_chunks_local(total: int, max_cols: int = 128):
-    n = -(-total // max_cols)
-    step = -(-total // n)
-    return [(lo, min(lo + step, total)) for lo in range(0, total, step)]
+# column chunking, gathered-operand dtype, and the tighter large-graph
+# stage cap are SHARED with the single-chip op so the sharded kernels
+# can never silently diverge from it
+from graphaibench_tpu.ops.fused_gat import (  # noqa: E402
+    _col_chunks as _col_chunks_local,
+    _V2_STAGE_ELEMS as _V2_STAGE_ELEMS_LOCAL,
+)
+
+
+def _shard_gather_dtype(n_gather_rows: int, base):
+    """bf16 gathered operands at scale, same policy as
+    ops.fused_gat._v2_gather_dtype (one <=512 B chunk instead of two,
+    gather views halved back under the 64 MB locality cliff)."""
+    from graphaibench_tpu.ops import fused_gat as _fg
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    if (_fg.V2_GATHER_BF16 and n_gather_rows >= SEG_ELL_MIN_NV
+            and base == jnp.float32):
+        return jnp.bfloat16
+    return base
+
+
+def _shard_stage_cap(n_gather_rows: int):
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    return _V2_STAGE_ELEMS_LOCAL if n_gather_rows >= SEG_ELL_MIN_NV else None
 
 
 def _sr_rowmax_local(se: ShardEll, sr_ext, n_out, sent):
@@ -516,13 +540,16 @@ def _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent):
     from graphaibench_tpu.ops.spmm import bucket_row_chunks
 
     f = h_ext.shape[1]
-    xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1)   # (nv_ext, 1+F)
-    chunks = _col_chunks_local(f + 1)
+    gdt = _shard_gather_dtype(h_ext.shape[0], h_ext.dtype)
+    cap = _shard_stage_cap(h_ext.shape[0])
+    xa = jnp.concatenate([sr_ext[:, None], h_ext],
+                         axis=1).astype(gdt)                 # (nv_ext, 1+F)
+    chunks = _col_chunks_local(f + 1, jnp.dtype(gdt).itemsize)
     acc = jnp.zeros((n_out, f + 1), h_ext.dtype)
     for bk in se.fwd:
         b, sl_ = _unwrap(bk)
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
-        for clo, chi in bucket_row_chunks(b, f + 1):
+        for clo, chi in bucket_row_chunks(b, f + 1, cap):
             whole = (clo, chi) == (0, b.nbr.shape[0])
             rows = b.row_ids if whole else b.row_ids[clo:chi]
             eid = b.edge_id if whole else b.edge_id[clo:chi]
@@ -567,43 +594,48 @@ def _gat_v2_bwd_local(n_out, res, ct):
     inner = jnp.sum(ct * out, axis=1)          # softmax-adjoint row term
 
     # B1 (fwd layout): d_sl
-    xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1)
-    chunks1 = _col_chunks_local(f + 1)
+    gdt = _shard_gather_dtype(h_ext.shape[0], h_ext.dtype)
+    cap = _shard_stage_cap(h_ext.shape[0])
+    xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1).astype(gdt)
+    chunks1 = _col_chunks_local(f + 1, jnp.dtype(gdt).itemsize)
     dsl = jnp.zeros((n_out,), sl.dtype)
     for bk in se.fwd:
         b, sl_ = _unwrap(bk)
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
-        for clo, chi in bucket_row_chunks(b, f + 1):
+        for clo, chi in bucket_row_chunks(b, f + 1, cap):
             whole = (clo, chi) == (0, b.nbr.shape[0])
             rows = b.row_ids if whole else b.row_ids[clo:chi]
             eid = b.edge_id if whole else b.edge_id[clo:chi]
             nbr = b.nbr if whole else b.nbr[clo:chi]
+            dsl, nbr = _seq_local(dsl, nbr, h_ext.shape[0])
             gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - m[rows][:, None]) * zinv[rows][:, None]
             p = jnp.where(eid == sent, 0.0, p)
             ctr = ct[rows]
-            dsw = jnp.einsum("rf,rwf->rw",
-                             ctr[:, chunks1[0][0]:chunks1[0][1] - 1],
-                             gs[0][..., 1:])
+            from graphaibench_tpu.ops.fused_gat import _dotw
+
+            dsw = _dotw(ctr[:, chunks1[0][0]:chunks1[0][1] - 1],
+                        gs[0][..., 1:])
             for (c0, c1), ga in zip(chunks1[1:], gs[1:]):
-                dsw = dsw + jnp.einsum("rf,rwf->rw", ctr[:, c0 - 1:c1 - 1], ga)
+                dsw = dsw + _dotw(ctr[:, c0 - 1:c1 - 1], ga)
             dlraw = p * (dsw - inner[rows][:, None])
             dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
             dsl = dsl.at[rows].add(dlraw.sum(axis=1))
 
     # B2 (transpose layout): rows j = ext-local cols, nbr i = local rows
     tb = jnp.concatenate(
-        [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct], axis=1)
-    chunks2 = _col_chunks_local(f + 4)
+        [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct],
+        axis=1).astype(gdt)
+    chunks2 = _col_chunks_local(f + 4, jnp.dtype(gdt).itemsize)
     nv_ext = h_ext.shape[0]
     dh = jnp.zeros((nv_ext, f), h_ext.dtype)
     dsr = jnp.zeros((nv_ext,), sr_ext.dtype)
     for bk in se.trans:
         b, sl_ = _unwrap(bk)
         ts = tb if sl_ is None else tb[sl_[0]:sl_[1]]
-        for clo, chi in bucket_row_chunks(b, f + 4):
+        for clo, chi in bucket_row_chunks(b, f + 4, cap):
             whole = (clo, chi) == (0, b.nbr.shape[0])
             rows = b.row_ids if whole else b.row_ids[clo:chi]
             eid = b.edge_id if whole else b.edge_id[clo:chi]
