@@ -39,15 +39,21 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
 
     if os.path.exists(dataset_path + ".meta.json"):
         # compressed-graph prefix (the reference's tc_omp_compressed /
-        # bfs compressed binaries take these): StreamVByte decodes on
-        # device, other schemes on host/native
+        # bfs compressed binaries take these): every scheme decodes on
+        # device, with host fallback past the device decoders' limits
         from graphaibench_tpu.compress.cli import load_compressed
         from graphaibench_tpu.compress.device_decode import decode_graph_device
 
         cg = load_compressed(dataset_path)
-        if getattr(cg, "scheme", None) == "streamvbyte":
-            g = decode_graph_device(cg)
-            print("decoded streamvbyte on device")
+        if getattr(cg, "scheme", None) in ("streamvbyte", "varintgb"):
+            try:
+                g = decode_graph_device(cg)
+                print(f"decoded {cg.scheme} on device")
+            except ValueError as e:  # varintgb degree > trip grid
+                from graphaibench_tpu.compress.cli import decode_any
+
+                g = decode_any(cg)
+                print(f"decoded on host ({e})")
         elif hasattr(cg, "cfg"):  # CGR
             from graphaibench_tpu.compress.cgr_device import cgr_decode_device
 

@@ -140,11 +140,12 @@ def streamvbyte_decode_device(words: jnp.ndarray, word_offsets: jnp.ndarray,
 def decode_graph_device(vg: VbyteGraph) -> CSRGraph:
     """Host wrapper: ship the compressed stream to the device, decode
     there, return a CSRGraph (for feeding the analytics solvers)."""
+    if vg.scheme == "varintgb":
+        return varintgb_decode_device(vg)
     if vg.scheme != "streamvbyte":
         raise ValueError(
-            f"device decode supports streamvbyte only, not {vg.scheme!r} "
-            "(VarintGB tags and CGR bit codes are sequential; use the "
-            "host decode path)")
+            f"device decode supports streamvbyte/varintgb, not "
+            f"{vg.scheme!r} (CGR goes through compress.cgr_device)")
     pad = (-len(vg.data)) % 4 + 8  # word-align + 2 guard words
     words = jnp.asarray(
         np.frombuffer(vg.data + b"\x00" * pad, dtype=np.uint32))
@@ -154,6 +155,143 @@ def decode_graph_device(vg: VbyteGraph) -> CSRGraph:
         words, woff, deg, nv=vg.nv, ne=vg.ne)
     return CSRGraph(row_ptr=np.asarray(row_ptr, dtype=np.int64),
                     col_idx=np.asarray(col_idx, dtype=np.int32))
+
+
+# ---------------------------------------------------------------------------
+# VarintGB: group-sequential stream -> lane-per-vertex scan decode.
+# ---------------------------------------------------------------------------
+#
+# Unlike StreamVByte's split key/data regions, a VarintGB group's tag
+# byte sits at a position that depends on every previous group's size
+# (vbyte_encoder.cc group layout), so a flat vectorization is
+# impossible. The CGR decoder's architecture applies instead: one lane
+# per VERTEX, a lax.scan where each step decodes one whole GROUP
+# (tag byte + up to 4 values from a single 6-word row gather), lanes
+# bucketed by group count so scan length tracks actual work. Degree
+# skew bounds: a degree-d vertex is ceil(d/4) serial steps — hubs are
+# latency-bound (documented; StreamVByte is the flat-decodable scheme).
+
+
+def _hex_view(words: jnp.ndarray) -> jnp.ndarray:
+    """(W-5, 6) sliding windows: 24 bytes per row gather — enough for a
+    worst-case group (tag + 16 value bytes) at any in-word alignment."""
+    return jnp.stack([words[:-5], words[1:-4], words[2:-3],
+                      words[3:-2], words[4:-1], words[5:]], axis=1)
+
+
+def _le_read32(row: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
+    """Little-endian 32-bit read at BYTE offset ``rel`` (0..19) into a
+    gathered (L, 6) word row."""
+    j = (rel >> 2).astype(jnp.int32)
+    w0 = jnp.take_along_axis(row, j[:, None], axis=1)[:, 0].astype(jnp.uint32)
+    w1 = jnp.take_along_axis(row, (j + 1)[:, None], axis=1)[:, 0].astype(jnp.uint32)
+    sh = ((rel & 3) * 8).astype(jnp.uint32)
+    return jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh)))
+
+
+@functools.partial(jax.jit, static_argnames=("trip", "ne"),
+                   donate_argnames=("col",))
+def _varintgb_pass(hexv, pos, n_groups, deg, base, col, trip: int, ne: int):
+    """Decode up to ``trip`` groups (4 values each) per lane; scatter the
+    d1-undone absolute neighbor ids into the shared col buffer."""
+
+    def step(carry, _):
+        p, prev, gi = carry
+        row = hexv[p >> 2]                          # (L, 6)
+        sub = p & 3
+        tag = (_le_read32(row, sub) & 0xFF).astype(jnp.int32)
+        rel = sub + 1
+        vals = []
+        lens = []
+        for lane in range(4):
+            code = (tag >> (2 * lane)) & 3
+            ln = code + 1
+            raw = _le_read32(row, rel)
+            keep = ((code + 1) * 8).astype(jnp.uint32)
+            mask = jnp.where(code == 3, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << keep) - 1)
+            vals.append((raw & mask).astype(jnp.int32))
+            lens.append(ln)
+            rel = rel + ln
+        # d1 undo: running prefix over the group's gaps. The encoder
+        # zero-pads the final partial group, so summing all 4 lanes is
+        # exact; out-of-degree slots are dropped at scatter time.
+        g = jnp.stack(vals, axis=1)                 # (L, 4)
+        abs_vals = prev[:, None] + jnp.cumsum(g, axis=1)
+        active = gi < n_groups
+        p = jnp.where(active, p + 1 + rel - (sub + 1), p)
+        prev = jnp.where(active, abs_vals[:, 3], prev)
+        return (p, prev, gi + 1), abs_vals
+
+    zeros = jnp.zeros_like(pos)
+    _, av = jax.lax.scan(step, (pos, zeros, jnp.int32(0)), None,
+                         length=trip, unroll=min(4, trip))  # (trip, L, 4)
+    gi = jnp.arange(trip, dtype=jnp.int32)[:, None, None]
+    lane = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    k = gi * 4 + lane                                # in-list index
+    slots = jnp.where(k < deg[None, :, None], base[None, :, None] + k, ne)
+    return col.at[slots].set(av, mode="drop")
+
+
+def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
+    """Decode a VarintGB-compressed graph on device. Raises ValueError
+    when a vertex's group count exceeds the trip grid (callers fall back
+    to the host decoder, like the CGR path)."""
+    if vg.scheme != "varintgb":
+        raise ValueError(f"expected varintgb, got {vg.scheme!r}")
+    nv, ne = vg.nv, vg.ne
+    deg = np.asarray(vg.degrees, dtype=np.int64)
+    row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    assert row_ptr[-1] == ne, (row_ptr[-1], ne)
+
+    pad = (-len(vg.data)) % 4 + 24
+    words = jnp.asarray(
+        np.frombuffer(vg.data + b"\x00" * pad, dtype=np.uint32))
+    hexv = _hex_view(words)
+
+    n_groups = -(-deg // 4)
+    grid = (2, 8, 32, 128, 512, 2048, 8192)
+    if n_groups.max(initial=0) > grid[-1]:
+        raise ValueError("device varintgb decode: degree exceeds the "
+                         f"trip grid ({4 * grid[-1]})")
+    lanes = np.nonzero(deg > 0)[0]
+    col = jnp.zeros((max(ne, 1),), jnp.int32)
+    if len(lanes):
+        # +4 skips the per-vertex count word (offsets count words)
+        pos = (np.asarray(vg.offsets, dtype=np.int64)[lanes] * 4 + 4)
+        assert pos.max(initial=0) + 20 < len(vg.data) + pad, "stream bounds"
+        pos = pos.astype(np.int32)
+        ngl = n_groups[lanes].astype(np.int32)
+        degl = deg[lanes].astype(np.int32)
+        base = row_ptr[lanes].astype(np.int32)
+        order = np.argsort(ngl, kind="stable")
+        sg = ngl[order]
+        lo = 0
+        for trip in grid:
+            hi = np.searchsorted(sg, trip, side="right")
+            sel = order[lo:hi]
+            lo = hi
+            if len(sel) == 0:
+                continue
+            n_pad = _pow2_pad_local(len(sel))
+            pd = np.zeros(n_pad - len(sel), np.int32)
+            col = _varintgb_pass(
+                hexv,
+                jnp.asarray(np.concatenate([pos[sel], pd])),
+                jnp.asarray(np.concatenate([ngl[sel], pd])),
+                jnp.asarray(np.concatenate([degl[sel], pd])),
+                jnp.asarray(np.concatenate([base[sel], pd])),
+                col, trip, max(ne, 1))
+        assert lo == len(lanes), "lane coverage"
+    return CSRGraph(row_ptr=row_ptr,
+                    col_idx=np.asarray(col[:ne], dtype=np.int32))
+
+
+def _pow2_pad_local(n: int, lo: int = 1024) -> int:
+    t = lo
+    while t < n:
+        t *= 2
+    return t
 
 
 def decode_hybrid_device(hg) -> CSRGraph:

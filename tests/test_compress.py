@@ -172,6 +172,41 @@ def test_streamvbyte_device_decode_edge_cases():
     assert np.array_equal(g2.col_idx, g.col_idx)
 
 
+def test_varintgb_device_decode(citeseer):
+    """Device VarintGB decode (lane-per-vertex group scan) reproduces
+    the host codec exactly, including the citeseer triangle golden."""
+    from graphaibench_tpu.analytics.tc import triangle_count
+    from graphaibench_tpu.compress.device_decode import varintgb_decode_device
+    from graphaibench_tpu.compress.vbyte import encode_graph
+
+    vg = encode_graph(citeseer, "varintgb")
+    g2 = varintgb_decode_device(vg)
+    assert np.array_equal(g2.row_ptr, citeseer.row_ptr)
+    assert np.array_equal(g2.col_idx, citeseer.col_idx)
+    assert triangle_count(g2) == 1166
+
+
+def test_varintgb_device_decode_edge_cases():
+    """Multi-byte lanes at every in-word tag alignment, zero-degree
+    vertices, partial final groups, and a hub needing several scan
+    buckets."""
+    from graphaibench_tpu.compress.device_decode import varintgb_decode_device
+    from graphaibench_tpu.compress.vbyte import encode_graph
+    from graphaibench_tpu.graph.csr import from_edges
+
+    n = 70000
+    hub = 17  # degree 40 -> 10 groups (bucket > 8)
+    src = [0, 0, 0, 5, 5, 69999] + [hub] * 40
+    dst = [1, 300, 69999, 6, 70, 0] + list(range(40000, 40000 + 40))
+    src, dst = np.array(src), np.array(dst)
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = from_edges(src, dst, n)
+    vg = encode_graph(g, "varintgb")
+    g2 = varintgb_decode_device(vg)
+    assert np.array_equal(g2.row_ptr, g.row_ptr)
+    assert np.array_equal(g2.col_idx, g.col_idx)
+
+
 def test_compressed_prefix_analytics(tmp_path, citeseer):
     """analytics CLI path on a compressed prefix (reference
     tc_omp_compressed semantics)."""
@@ -182,6 +217,9 @@ def test_compressed_prefix_analytics(tmp_path, citeseer):
     prefix = str(tmp_path / "cs_svb")
     save_compressed(encode_graph(citeseer, "streamvbyte"), prefix)
     assert run_benchmark("tc", prefix, []) == 0
+    prefix2 = str(tmp_path / "cs_vgb")
+    save_compressed(encode_graph(citeseer, "varintgb"), prefix2)
+    assert run_benchmark("tc", prefix2, []) == 0
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -212,6 +250,9 @@ def test_codec_fuzz_roundtrip(seed, tmp_path):
 
     vg2 = vbyte.encode_graph(g, "varintgb")
     assert np.array_equal(vbyte.decode_graph(vg2).col_idx, g.col_idx)
+    g3 = decode_graph_device(vg2)  # dispatches to the varintgb kernel
+    assert np.array_equal(g3.col_idx, g.col_idx)
+    assert np.array_equal(g3.row_ptr, g.row_ptr)
 
     cfg = cgr.CgrConfig(zeta_k=int(rng.integers(1, 5)),
                         use_interval=bool(rng.integers(0, 2)))
