@@ -15,12 +15,15 @@ compiles it to a handful of streaming kernels with no scalar loop:
   4. value: gather 4 bytes, mask by length, little-endian combine
   5. delta-1 undo: segmented inclusive cumsum of the decoded gaps
 
-StreamVByte is the only scheme decoded on device: its split key/data
-streams make step 2 addressable without decoding prior values. VarintGB
-interleaves tag bytes with data (tag position depends on all previous
-group lengths) and CGR is bit-granular (unary/zeta codes), so both stay
-on the host/native decode path (compress/vbyte.py, compress/cgr.py,
-native C++ codecs) exactly like the reference keeps its CGR CPU decoder.
+StreamVByte's split key/data streams make step 2 addressable without
+decoding prior values, so it decodes flat (above). VarintGB interleaves
+tag bytes with data (tag position depends on all previous group
+lengths), so it decodes with the CGR decoder's lane-per-vertex scan
+architecture instead (``varintgb_decode_device`` below); CGR itself is
+bit-granular and lives in compress/cgr_device.py. Hybrid streams
+compose the two (``decode_hybrid_device``). Host/native codecs
+(compress/vbyte.py, compress/cgr.py) remain the fallback past the
+device decoders' size limits.
 
 Degrees come from ``.degree.bin`` (written by the compressor, as in the
 reference's Compressor::write_degrees), so the in-stream count word is
@@ -35,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from graphaibench_tpu.compress.cgr_device import _pow2_pad
 from graphaibench_tpu.compress.vbyte import VbyteGraph
 from graphaibench_tpu.graph.csr import CSRGraph
 
@@ -202,17 +206,14 @@ def _varintgb_pass(hexv, pos, n_groups, deg, base, col, trip: int, ne: int):
         tag = (_le_read32(row, sub) & 0xFF).astype(jnp.int32)
         rel = sub + 1
         vals = []
-        lens = []
         for lane in range(4):
             code = (tag >> (2 * lane)) & 3
-            ln = code + 1
             raw = _le_read32(row, rel)
             keep = ((code + 1) * 8).astype(jnp.uint32)
             mask = jnp.where(code == 3, jnp.uint32(0xFFFFFFFF),
                              (jnp.uint32(1) << keep) - 1)
             vals.append((raw & mask).astype(jnp.int32))
-            lens.append(ln)
-            rel = rel + ln
+            rel = rel + code + 1
         # d1 undo: running prefix over the group's gaps. The encoder
         # zero-pads the final partial group, so summing all 4 lanes is
         # exact; out-of-degree slots are dropped at scatter time.
@@ -245,6 +246,12 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
     assert row_ptr[-1] == ne, (row_ptr[-1], ne)
 
     pad = (-len(vg.data)) % 4 + 24
+    if len(vg.data) + pad >= 2**31:
+        # byte positions are int32 inside the jitted pass (cgr_device
+        # asserts the same bound for bit positions); raise ValueError so
+        # analytics falls back to the host decoder instead of wrapping
+        raise ValueError("device varintgb decode: stream too large for "
+                         "int32 byte positions")
     words = jnp.asarray(
         np.frombuffer(vg.data + b"\x00" * pad, dtype=np.uint32))
     hexv = _hex_view(words)
@@ -273,7 +280,7 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
             lo = hi
             if len(sel) == 0:
                 continue
-            n_pad = _pow2_pad_local(len(sel))
+            n_pad = _pow2_pad(len(sel))
             pd = np.zeros(n_pad - len(sel), np.int32)
             col = _varintgb_pass(
                 hexv,
@@ -285,13 +292,6 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
         assert lo == len(lanes), "lane coverage"
     return CSRGraph(row_ptr=row_ptr,
                     col_idx=np.asarray(col[:ne], dtype=np.int32))
-
-
-def _pow2_pad_local(n: int, lo: int = 1024) -> int:
-    t = lo
-    while t < n:
-        t *= 2
-    return t
 
 
 def decode_hybrid_device(hg) -> CSRGraph:

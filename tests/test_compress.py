@@ -207,6 +207,56 @@ def test_varintgb_device_decode_edge_cases():
     assert np.array_equal(g2.col_idx, g.col_idx)
 
 
+def test_varintgb_device_decode_4byte_lanes():
+    """code==3 (4-byte) lanes: vertex ids >= 2**24 force the full-mask
+    branch in _varintgb_pass for both absolute values and wide gaps."""
+    from graphaibench_tpu.compress.device_decode import varintgb_decode_device
+    from graphaibench_tpu.compress.vbyte import encode_graph
+    from graphaibench_tpu.graph.csr import from_edges
+
+    n = (1 << 24) + 64
+    big = n - 2  # absolute id needs 4 bytes
+    src = np.array([0, 0, 0, 3, 3, big])
+    dst = np.array([1, 2, big, 5, big - 1, big - 3])  # wide d1 gaps
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = from_edges(src, dst, n)
+    vg = encode_graph(g, "varintgb")
+    g2 = varintgb_decode_device(vg)
+    assert np.array_equal(g2.row_ptr, g.row_ptr)
+    assert np.array_equal(g2.col_idx, g.col_idx)
+
+
+def test_varintgb_trip_grid_host_fallback(tmp_path):
+    """A hub past the 4*8192 trip-grid limit raises ValueError from the
+    device decoder and the analytics dispatcher falls back to host."""
+    import pytest
+
+    from graphaibench_tpu.analytics import run_benchmark
+    from graphaibench_tpu.compress.cli import save_compressed
+    from graphaibench_tpu.compress.device_decode import varintgb_decode_device
+    from graphaibench_tpu.compress.vbyte import encode_graph
+    from graphaibench_tpu.graph.csr import from_edges
+
+    n = 4 * 8192 + 8
+    hub_deg = 4 * 8192 + 4
+    src = np.full(hub_deg, 0)
+    dst = np.arange(1, hub_deg + 1)
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = from_edges(src, dst, n)
+    vg = encode_graph(g, "varintgb")
+    with pytest.raises(ValueError, match="trip grid"):
+        varintgb_decode_device(vg)
+    prefix = str(tmp_path / "hubgraph")
+    save_compressed(vg, prefix)
+    # dispatcher catches the ValueError and decodes on host (exit 0)
+    assert run_benchmark("tc", prefix, []) == 0
+    from graphaibench_tpu.compress.cli import decode_any, load_compressed
+
+    g2 = decode_any(load_compressed(prefix))
+    assert np.array_equal(g2.row_ptr, g.row_ptr)
+    assert np.array_equal(g2.col_idx, g.col_idx)
+
+
 def test_compressed_prefix_analytics(tmp_path, citeseer):
     """analytics CLI path on a compressed prefix (reference
     tc_omp_compressed semantics)."""
