@@ -168,16 +168,33 @@ def _stack_layout(per_shard_lists, num_shards, sentinel, n_gather,
 
 def build_shard_ell(sg, split: Optional[int] = None,
                     seg_rows: int = SEG_ROWS,
-                    seg_min_rows: int = SEG_ELL_MIN_NV) -> ShardEll:
+                    seg_min_rows: int = SEG_ELL_MIN_NV,
+                    part: str = "all") -> ShardEll:
     """Build both stacked layouts from a host ShardedGraph. The edge-id
     space of shard p is its slot index [0, e_max) with sentinel e_max,
     matching the per-shard edge arrays the trainer already ships.
 
     Shards whose gather tables exceed ``seg_min_rows`` rows get the
     column-segmented layout (every gather confined to a seg_rows slice);
-    below that, whole-table gathers are already in the fast regime."""
+    below that, whole-table gathers are already in the fast regime.
+
+    ``part`` selects which edges the layout covers (the halo-overlap
+    split, SURVEY §7 hard part (c)):
+      * "all"  — every local edge; forward gathers from the extended
+        table x_ext = concat(x_own, x_halo) (nv_pad + h_max rows).
+      * "own"  — only edges whose source column is an OWNED row; the
+        forward gathers straight from x_own (nv_pad rows), with no
+        data dependency on the halo exchange.
+      * "halo" — only halo-sourced edges, columns shifted by -nv_pad so
+        the forward gathers from x_halo (h_max rows).
+    Aggregating "own" + "halo" separately equals the "all" layout
+    exactly (disjoint edge partition scatter-added into the same rows),
+    but frees XLA to overlap the all_to_all with the interior ("own")
+    aggregation — the NVSHMEM-mid-kernel-fetch replacement's latency
+    hiding (bs_warp_vertex_nvshmem.cuh:30-34)."""
     P, e_max = sg.num_shards, sg.e_max
     nv_ext = sg.nv_pad + sg.h_max
+    n_fwd_gather = {"all": nv_ext, "own": sg.nv_pad, "halo": sg.h_max}[part]
 
     def layouts(rows, cols, eids, n_gather, use_segs):
         if not use_segs:
@@ -192,7 +209,7 @@ def build_shard_ell(sg, split: Optional[int] = None,
                                         as_numpy=True))
         return per_seg
 
-    seg_fwd = nv_ext >= seg_min_rows
+    seg_fwd = n_fwd_gather >= seg_min_rows
     seg_trans = sg.nv_pad >= seg_min_rows
     fwd_lists, trans_lists = [], []
     for p in range(P):
@@ -200,10 +217,16 @@ def build_shard_ell(sg, split: Optional[int] = None,
         rows = sg.edge_src[p, :n_e].astype(np.int64)
         cols = sg.col_idx[p, :n_e].astype(np.int64)
         eids = np.arange(n_e, dtype=np.int64)
-        fwd_lists.append(layouts(rows, cols, eids, nv_ext, seg_fwd))
+        if part == "own":
+            sel = cols < sg.nv_pad
+            rows, cols, eids = rows[sel], cols[sel], eids[sel]
+        elif part == "halo":
+            sel = cols >= sg.nv_pad
+            rows, cols, eids = rows[sel], cols[sel] - sg.nv_pad, eids[sel]
+        fwd_lists.append(layouts(rows, cols, eids, n_fwd_gather, seg_fwd))
         trans_lists.append(layouts(cols, rows, eids, sg.nv_pad, seg_trans))
-    fwd = (_stack_layout(fwd_lists, P, e_max, nv_ext, seg_rows) if seg_fwd
-           else _stack_bucket_lists(fwd_lists, P, e_max))
+    fwd = (_stack_layout(fwd_lists, P, e_max, n_fwd_gather, seg_rows)
+           if seg_fwd else _stack_bucket_lists(fwd_lists, P, e_max))
     trans = (_stack_layout(trans_lists, P, e_max, sg.nv_pad, seg_rows)
              if seg_trans else _stack_bucket_lists(trans_lists, P, e_max))
     return ShardEll(fwd=fwd, trans=trans, sentinel=e_max)

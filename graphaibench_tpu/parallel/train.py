@@ -30,14 +30,8 @@ from graphaibench_tpu.parallel.shard_ell import (
     ShardEll,
     ShardPackedW,
     build_shard_ell,
-    gat_fused_local,
     gat_fused_local_v2,
-    local_packed_w,
-    local_shard_ell,
     pack_shard_values,
-    packed_w_specs,
-    shard_ell_specs,
-    slot_sddmm_add,
     slot_spmm,
     slot_spmm_packed,
 )
@@ -56,31 +50,54 @@ def _local_segment_softmax(edge_src, logits, valid, nv_pad):
 
 
 def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
-                         se: ShardEll | None = None,
-                         wp: ShardPackedW | None = None):
+                         ell=None):
     """Per-shard forward of the gconv stack. ``ga`` holds this shard's
-    graph arrays (leading axis already stripped). With ``se`` (the
-    stripped per-shard ELL layouts) the aggregation, GAT logits, and GAT
-    softmax all run on the tuned degree-bucketed kernels instead of
-    gather+segment_sum/max (CLAUDE.md: the segment scatters are the
-    measured-slow primitive on TPU). ``wp`` (pre-gathered static
-    weights) additionally removes the per-slot w[edge_id] scalar gather
-    from the GCN/SAGE aggregation fwd+bwd."""
+    graph arrays (leading axis already stripped). ``ell`` bundles the
+    stripped per-shard ELL layouts + pre-gathered static weights:
+
+      se / wp           — unified layouts over ALL local edges (gather
+                          from x_ext = concat(own, halo)); the GAT path
+                          and the runtime-weight fallback use these.
+      se_own / wp_own   — owned-edge layouts (gather from x_own only).
+      se_halo / wp_halo — halo-edge layouts (gather from x_halo only).
+
+    With the own/halo split populated, the static-weight aggregation
+    (GCN/SAGE) computes the interior partial sum with NO data dependency
+    on the halo all_to_all, so XLA's latency-hiding scheduler can
+    overlap the collective with the interior gather+reduce — the
+    prefetched-halo replacement for NVSHMEM's mid-kernel remote fetch
+    (bs_warp_vertex_nvshmem.cuh:30-34; SURVEY §7 hard part (c)). The
+    tuned degree-bucketed kernels replace gather+segment_sum/max
+    everywhere (CLAUDE.md: segment scatters are the measured-slow
+    primitive on TPU); ``wp*`` remove the per-slot w[edge_id] scalar
+    gather from the GCN/SAGE aggregation fwd+bwd."""
     nv_pad = x_own.shape[0]
+    se, wp = ell["se"], ell["wp"]
+    se_own, wp_own = ell["se_own"], ell["wp_own"]
+    se_halo, wp_halo = ell["se_halo"], ell["wp_halo"]
 
     def exchange(h):
         halo = halo_exchange(h, ga["send_idx"], ga["halo_map"], axis=axis)
         return jnp.concatenate([h, halo], axis=0)
 
     def aggregate_w(h_ext, w):
-        if se is not None and se.fwd:
+        if se.fwd:
             return slot_spmm(nv_pad, se, w, h_ext, ga["edge_src"],
                              ga["col_idx"], ga["edge_valid"])
         return sharded_spmm_local(ga["edge_src"], ga["col_idx"], w,
                                   h_ext, nv_pad)
 
     def aggregate(h):
-        if wp is not None and wp.fwd:
+        if se_own.fwd or se_halo.fwd:
+            # overlap split: start the collective, aggregate interior
+            # edges meanwhile, add the halo contribution when it lands
+            halo = halo_exchange(h, ga["send_idx"], ga["halo_map"],
+                                 axis=axis)
+            out = slot_spmm_packed(nv_pad, se_own, wp_own, h)
+            if se_halo.fwd:
+                out = out + slot_spmm_packed(nv_pad, se_halo, wp_halo, halo)
+            return out
+        if wp.fwd:
             return slot_spmm_packed(nv_pad, se, wp, exchange(h))
         return aggregate_w(exchange(h), ga["edge_w"])
 
@@ -94,7 +111,7 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
             t_ext = exchange(t)
             sl = t @ p["alpha_l"]                  # (nv_pad,)
             sr = t_ext @ p["alpha_r"]              # (nv_pad + h_max,)
-            if se is not None and se.fwd:
+            if se.fwd:
                 # v2: logits computed inside the bucket passes; no
                 # slot-space array is ever gathered (shard_ell.py notes)
                 out = gat_fused_local_v2(nv_pad, se, sl, sr, t_ext)
@@ -149,6 +166,7 @@ def make_sharded_trainer(
     optimizer: str = "adam",
     axis: str = AXIS,
     use_ell: bool = True,
+    overlap: bool = True,
 ) -> ShardedTrainer:
     begin, end, _count = train_range
     nv, nv_total = sg.nv, sg.padded_nv
@@ -176,21 +194,32 @@ def make_sharded_trainer(
     }
     opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
 
-    # per-shard ELL layouts (empty ShardEll = fall back to segment ops)
-    se_host = build_shard_ell(sg) if use_ell else ShardEll((), ())
-    se_spec = shard_ell_specs(se_host, axis)
-    se_dev = jax.tree.map(
-        lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
-        se_host, se_spec)
-    # pre-gathered static weights (GCN/SAGE/GGNN norms; GAT derives
-    # scores per step, so gets none)
+    # per-shard ELL layouts (empty ShardEll = fall back to segment ops).
+    # GCN/SAGE static-weight aggregation uses the own/halo overlap split
+    # (see _local_gconv_forward); GAT's fused v2 kernel reads the
+    # unified extended-table layout. Only the layouts actually consumed
+    # are built and shipped.
+    empty_se, empty_wp = ShardEll((), ()), ShardPackedW((), ())
+    use_packed = use_ell and cfg.arch != "gat"
+    use_overlap = overlap and use_packed
+    se_host = (build_shard_ell(sg) if use_ell and not use_overlap
+               else empty_se)
     wp_host = (pack_shard_values(se_host, sg.edge_w)
-               if use_ell and se_host.fwd and cfg.arch != "gat"
-               else ShardPackedW((), ()))
-    wp_spec = packed_w_specs(wp_host, axis)
-    wp_dev = jax.tree.map(
+               if use_packed and se_host.fwd else empty_wp)
+    ell_host = {"se": se_host, "wp": wp_host,
+                "se_own": empty_se, "wp_own": empty_wp,
+                "se_halo": empty_se, "wp_halo": empty_wp}
+    if use_overlap:
+        se_own = build_shard_ell(sg, part="own")
+        se_halo = build_shard_ell(sg, part="halo")
+        ell_host.update(
+            se_own=se_own, wp_own=pack_shard_values(se_own, sg.edge_w),
+            se_halo=se_halo, wp_halo=pack_shard_values(se_halo, sg.edge_w))
+    ell_spec = jax.tree.map(
+        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), ell_host)
+    ell_dev = jax.tree.map(
         lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
-        wp_host, wp_spec)
+        ell_host, ell_spec)
 
     def _strip(ga):
         return {
@@ -202,9 +231,9 @@ def make_sharded_trainer(
             "halo_map": ga["halo_map"][0],
         }
 
-    def local_loss(params, x_own, lab_own, valid_own, ga, se, wp):
+    def local_loss(params, x_own, lab_own, valid_own, ga, ell):
         logits = _local_gconv_forward(cfg, params, _strip(ga), x_own,
-                                      axis=axis, se=se, wp=wp)
+                                      axis=axis, ell=ell)
         probs = jax.nn.softmax(logits, axis=-1)
         onehot = jax.nn.one_hot(lab_own, logits.shape[-1], dtype=logits.dtype)
         ce = gmath.cross_entropy(onehot, probs)
@@ -213,13 +242,13 @@ def make_sharded_trainer(
         # reference gradient scaling: / (end - begin)
         return total / max(end - begin, 1)
 
-    def local_step(params, opt_state, x_own, lab_own, valid_own, se, wp,
+    def local_step(params, opt_state, x_own, lab_own, valid_own, ell,
                    *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         loss, grads = jax.value_and_grad(local_loss)(
-            params, x_own, lab_own, valid_own, ga, local_shard_ell(se),
-            local_packed_w(wp)
+            params, x_own, lab_own, valid_own, ga,
+            jax.tree.map(lambda a: a[0], ell)
         )
         grads = jax.lax.psum(grads, axis)
         new_params, new_opt = opt.update(grads, opt_state, params)
@@ -233,8 +262,8 @@ def make_sharded_trainer(
     step_sm = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P(axis), se_spec,
-                  wp_spec) + ga_specs,
+        in_specs=(P(), P(), P(axis, None), P(axis), P(axis), ell_spec)
+        + ga_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
@@ -249,16 +278,16 @@ def make_sharded_trainer(
     _step_jit = jax.jit(step_sm)
 
     def train_step(params, opt_state):
-        return _step_jit(params, opt_state, x_d, lab_d, valid_d, se_dev,
-                         wp_dev, *ga_args)
+        return _step_jit(params, opt_state, x_d, lab_d, valid_d, ell_dev,
+                         *ga_args)
 
     import functools as _ft
 
     @_ft.partial(jax.jit, static_argnums=0)
-    def _steps_jit(n, params, opt_state, x, lab, valid, se, wp, *ga):
+    def _steps_jit(n, params, opt_state, x, lab, valid, ell, *ga):
         def body(carry, _):
             p, o = carry
-            p, o, loss = step_sm(p, o, x, lab, valid, se, wp, *ga)
+            p, o, loss = step_sm(p, o, x, lab, valid, ell, *ga)
             return (p, o), loss
         (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
                                       length=n)
@@ -266,19 +295,18 @@ def make_sharded_trainer(
 
     def train_steps(params, opt_state, n):
         return _steps_jit(n, params, opt_state, x_d, lab_d, valid_d,
-                          se_dev, wp_dev, *ga_args)
+                          ell_dev, *ga_args)
 
-    def local_logits(params, x_own, se, wp, *ga_flat):
+    def local_logits(params, x_own, ell, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis,
-                                    se=local_shard_ell(se),
-                                    wp=local_packed_w(wp))
+                                    ell=jax.tree.map(lambda a: a[0], ell))
 
     logits_sm = jax.shard_map(
         local_logits,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), se_spec, wp_spec) + ga_specs,
+        in_specs=(P(), P(axis, None), ell_spec) + ga_specs,
         out_specs=P(axis, None),
         check_vma=False,
     )
@@ -286,7 +314,7 @@ def make_sharded_trainer(
     _logits_jit = jax.jit(logits_sm)
 
     def eval_logits(params):
-        return _logits_jit(params, x_d, se_dev, wp_dev, *ga_args)[:nv]
+        return _logits_jit(params, x_d, ell_dev, *ga_args)[:nv]
 
     return ShardedTrainer(mesh=mesh, train_step=train_step,
                           eval_logits=eval_logits, nv=nv,

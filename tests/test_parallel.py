@@ -144,6 +144,62 @@ def test_sharded_spmm_empty_shards(mesh):
     np.testing.assert_allclose(out[: g.nv, 0], deg, rtol=1e-5)
 
 
+def test_overlap_split_matches_unified(mesh):
+    """The own/halo overlap split (interior aggregation concurrent with
+    the all_to_all) must agree with the unified extended-table layout:
+    same edges, disjointly partitioned, scatter-added into the same
+    rows."""
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
+    from graphaibench_tpu.nn.optim import Adam
+    from graphaibench_tpu.parallel.shard_ell import build_shard_ell
+
+    g = uniform_random(300, 900, seed=7)
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, g.nv, g.nv)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=4,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=16, dim_hid=8,
+                      num_cls=4, lr=0.02)
+    prepped = prepare_graph(g, "gcn")
+    w = aggregation_weights(prepped, "gcn")
+    sg = build_sharded_graph(prepped, w, mesh.devices.size)
+
+    # the edge partition is exact: own + halo slot counts = valid edges
+    def n_slots(se):
+        from graphaibench_tpu.parallel.shard_ell import _unwrap
+        tot = 0
+        for bk in se.fwd:
+            b, _ = _unwrap(bk)
+            tot += int((np.asarray(b.edge_id) != se.sentinel).sum())
+        return tot
+
+    n_all = n_slots(build_shard_ell(sg))
+    n_own = n_slots(build_shard_ell(sg, part="own"))
+    n_halo = n_slots(build_shard_ell(sg, part="halo"))
+    assert n_own + n_halo == n_all == int(sg.edge_valid.sum())
+    assert n_halo > 0  # 8-way split of a random graph must have halos
+
+    params = init_params(cfg)
+    t_ov = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask,
+                                overlap=True)
+    t_un = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask,
+                                overlap=False)
+    np.testing.assert_allclose(np.asarray(t_ov.eval_logits(params)),
+                               np.asarray(t_un.eval_logits(params)),
+                               rtol=1e-5, atol=1e-5)
+    p1, o1 = params, Adam(lr=cfg.lr).init(params)
+    p2, o2 = params, Adam(lr=cfg.lr).init(params)
+    for _ in range(3):
+        p1, o1, l1 = t_ov.train_step(p1, o1)
+        p2, o2, l2 = t_un.train_step(p2, o2)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
 def test_locality_order_cuts_halo():
     """Community-ordered 1-D sharding must shrink the halo on a graph
     with planted structure (vs the shuffled original)."""
