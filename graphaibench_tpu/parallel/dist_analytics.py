@@ -66,3 +66,48 @@ def distributed_triangle_count(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS) -> 
     out = fn(jax.device_put(src_p, sh), jax.device_put(dst_p, sh),
              jax.device_put(valid, sh))
     return int(out)
+
+
+def distributed_pagerank(mesh: Mesh, g: CSRGraph, rg: CSRGraph | None = None,
+                         *, damp: float = 0.85, epsilon: float = 1e-4,
+                         max_iter: int = 100, axis: str = AXIS):
+    """PageRank with the rank vector and graph vertex-sharded over the
+    mesh: one halo-exchange sharded SpMM per pull iteration (the
+    multi-host analog of pr.pagerank — same constants as the reference,
+    common.h:73-76). Returns (scores (nv,), iterations).
+
+    The contribution edge weight 1/outdeg[u] is static, so it ships as
+    the ShardedGraph's edge weights and rides the packed-ELL overlap
+    kernels; only the (nv, 1) rank column moves per iteration.
+    Convergence is checked on host every iteration (one scalar fetch —
+    the analytics-loop pattern, not the training hot path)."""
+    from graphaibench_tpu.parallel.partition import (
+        build_sharded_graph,
+        pad_rows,
+    )
+    from graphaibench_tpu.parallel.halo import make_sharded_spmm
+
+    if rg is None:
+        rg = T.reverse(g)
+    nv = g.nv
+    out_deg = np.maximum(g.degrees(), 1).astype(np.float32)
+    # reverse edge (v -> u) carries original u -> v: weight 1/outdeg[u]
+    w = (1.0 / out_deg[rg.col_idx]).astype(np.float32)
+    sg = build_sharded_graph(rg, w, mesh.devices.size)
+    spmm = make_sharded_spmm(mesh, sg, axis=axis)
+
+    base = (1.0 - damp) / nv
+    x = np.full((sg.padded_nv, 1), 1.0 / nv, dtype=np.float32)
+    x[nv:] = 0.0
+    scores = jnp.asarray(x)
+    it = 0
+    for it in range(1, max_iter + 1):
+        new = base + damp * spmm(scores)
+        # zero the padding rows so they neither accumulate rank nor
+        # contribute via selfloop-free padded edges
+        new = new.at[nv:].set(0.0)
+        err = float(jnp.abs(new[:nv] - scores[:nv]).sum())
+        scores = new
+        if err < epsilon:
+            break
+    return np.asarray(scores[:nv, 0]), it

@@ -43,35 +43,78 @@ def sharded_spmm_local(
     return jax.ops.segment_sum(msgs, edge_src, num_segments=nv_pad)
 
 
-def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS):
+def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS,
+                      use_ell: bool = True, overlap: bool = True):
     """Returns a jittable f(x_padded_global) -> aggregated rows, where
     x is row-sharded over the mesh axis. ``sg`` is a host ShardedGraph.
-    Used directly for distributed analytics (e.g. PageRank) and as the
-    template for the sharded GNN layers."""
-    nv_pad = sg.nv_pad
+    Used directly for distributed analytics (e.g. PageRank) and the
+    weak-scaling bench; the sharded GNN layers follow the same shape.
 
-    def local(x_own, edge_src, col_idx, w, send_idx, halo_map):
+    By default aggregation runs on the pre-packed degree-bucketed ELL
+    kernels with the own/halo overlap split (interior edges aggregate
+    concurrently with the all_to_all — see shard_ell.build_shard_ell);
+    ``use_ell=False`` keeps the gather+segment_sum formulation as the
+    measured-slow oracle, ``overlap=False`` the unified extended-table
+    layout."""
+    import numpy as np
+
+    from graphaibench_tpu.parallel.shard_ell import (
+        ShardEll,
+        ShardPackedW,
+        build_shard_ell,
+        pack_shard_values,
+        slot_spmm_packed,
+    )
+
+    nv_pad = sg.nv_pad
+    empty_se, empty_wp = ShardEll((), ()), ShardPackedW((), ())
+    ell = {"se": empty_se, "wp": empty_wp, "se_own": empty_se,
+           "wp_own": empty_wp, "se_halo": empty_se, "wp_halo": empty_wp}
+    if use_ell and overlap:
+        se_own = build_shard_ell(sg, part="own")
+        se_halo = build_shard_ell(sg, part="halo")
+        ell.update(se_own=se_own,
+                   wp_own=pack_shard_values(se_own, sg.edge_w),
+                   se_halo=se_halo,
+                   wp_halo=pack_shard_values(se_halo, sg.edge_w))
+    elif use_ell:
+        se = build_shard_ell(sg)
+        ell.update(se=se, wp=pack_shard_values(se, sg.edge_w))
+
+    def local(x_own, ell, edge_src, col_idx, w, send_idx, halo_map):
         # shard_map gives per-shard blocks with a leading axis of 1
         x_own = x_own.reshape(nv_pad, -1)
+        el = jax.tree.map(lambda a: a[0], ell)
         x_halo = halo_exchange(x_own, send_idx[0], halo_map[0], axis=axis)
+        if el["se_own"].fwd or el["se_halo"].fwd:
+            out = slot_spmm_packed(nv_pad, el["se_own"], el["wp_own"], x_own)
+            if el["se_halo"].fwd:
+                out = out + slot_spmm_packed(nv_pad, el["se_halo"],
+                                             el["wp_halo"], x_halo)
+            return out
         x_ext = jnp.concatenate([x_own, x_halo], axis=0)
-        out = sharded_spmm_local(edge_src[0], col_idx[0], w[0], x_ext, nv_pad)
-        return out
+        if el["se"].fwd:
+            return slot_spmm_packed(nv_pad, el["se"], el["wp"], x_ext)
+        return sharded_spmm_local(edge_src[0], col_idx[0], w[0], x_ext,
+                                  nv_pad)
 
     spec_v = P(axis, None)       # vertex-sharded rows
     spec_e = P(axis, None)       # per-shard edge arrays
     spec_s = P(axis, None, None)
+    ell_spec = jax.tree.map(
+        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), ell)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_v, spec_e, spec_e, spec_e, spec_s, spec_e),
+        in_specs=(spec_v, ell_spec, spec_e, spec_e, spec_e, spec_s, spec_e),
         out_specs=spec_v,
         check_vma=False,
     )
 
     # device-resident graph arrays are passed as jit ARGUMENTS, not
     # captured constants (tunnelled-TPU compile-size hazard, CLAUDE.md)
+    ell_dev = jax.tree.map(jnp.asarray, ell)
     edge_src = jnp.asarray(sg.edge_src)
     col_idx = jnp.asarray(sg.col_idx)
     w = jnp.asarray(sg.edge_w)
@@ -80,6 +123,7 @@ def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS):
     fn_jit = jax.jit(fn)
 
     def spmm_fn(x_padded):
-        return fn_jit(x_padded, edge_src, col_idx, w, send_idx, halo_map)
+        return fn_jit(x_padded, ell_dev, edge_src, col_idx, w, send_idx,
+                      halo_map)
 
     return spmm_fn

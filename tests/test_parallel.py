@@ -62,7 +62,10 @@ def test_host_partitioners():
     assert sum(len(c) for c in lf) == g.ne
 
 
-def test_sharded_spmm_matches_single(mesh):
+@pytest.mark.parametrize("kw", [dict(),                       # ELL + overlap
+                                dict(overlap=False),          # unified ELL
+                                dict(use_ell=False)])         # segment oracle
+def test_sharded_spmm_matches_single(mesh, kw):
     g = rmat(9, 8, seed=3)  # 512 vertices, power-law
     w = T.gcn_edge_norms(T.add_selfloop(g))
     gsl = T.add_selfloop(g)
@@ -70,7 +73,7 @@ def test_sharded_spmm_matches_single(mesh):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((gsl.nv, 32)).astype(np.float32)
 
-    spmm_fn = make_sharded_spmm(mesh, sg)
+    spmm_fn = make_sharded_spmm(mesh, sg, **kw)
     out_sharded = np.asarray(spmm_fn(jnp.asarray(pad_rows(x, sg.padded_nv))))[: gsl.nv]
 
     dg = to_device_graph(gsl, with_ell=False)
@@ -198,6 +201,19 @@ def test_overlap_split_matches_unified(mesh):
         p1, o1, l1 = t_ov.train_step(p1, o1)
         p2, o2, l2 = t_un.train_step(p2, o2)
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_distributed_pagerank_matches_serial(mesh):
+    """8-shard PageRank (halo-exchange SpMM per pull iteration) must
+    match the serial oracle on a directed power-law graph."""
+    from graphaibench_tpu.analytics import verifiers
+    from graphaibench_tpu.parallel import distributed_pagerank
+
+    g = rmat(9, 8, seed=11)
+    scores, iters = distributed_pagerank(mesh, g)
+    assert 1 < iters <= 100
+    ref = verifiers.pagerank_serial(g, T.reverse(g))
+    np.testing.assert_allclose(scores, ref, rtol=2e-3, atol=1e-7)
 
 
 def test_locality_order_cuts_halo():

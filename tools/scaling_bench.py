@@ -69,10 +69,15 @@ def main():
             np.random.default_rng(0).standard_normal(
                 (g.nv, args.feat)).astype(np.float32), sg.padded_nv))
         spmm(x).block_until_ready()
-        iters = 10
+        iters = 10 if not args.cpu else 3
         t0 = time.perf_counter()
         for _ in range(iters):
             out = spmm(x)
+            if args.cpu:
+                # on the single-host virtual mesh all 8 device threads
+                # share the cores; queuing iterations unblocked starves
+                # the all_to_all rendezvous (40 s deadline -> SIGABRT)
+                out.block_until_ready()
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / iters
         rate = g.ne / dt
