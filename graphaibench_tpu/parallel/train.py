@@ -122,6 +122,23 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
                     ga["edge_src"], logits, ga["edge_valid"], nv_pad
                 )
                 out = aggregate_w(t_ext, scores)
+        elif cfg.arch == "ggnn":
+            # GRU over summed neighbor messages (ggnn_layer_fwd): the
+            # aggregation is the same static-weight SpMM (all-ones), the
+            # gates are row-local dense ops — shard-trivial
+            t = h
+            if t.shape[1] != p["W_neigh"].shape[1]:
+                t = jnp.dot(t, p["W_neigh"],
+                            precision=jax.lax.Precision.HIGHEST)
+            a = aggregate(t)
+            hp = jax.lax.Precision.HIGHEST
+            z = jax.nn.sigmoid(jnp.dot(a, p["Wz"], precision=hp)
+                               + jnp.dot(t, p["Uz"], precision=hp))
+            r = jax.nn.sigmoid(jnp.dot(a, p["Wr"], precision=hp)
+                               + jnp.dot(t, p["Ur"], precision=hp))
+            hcand = jnp.tanh(jnp.dot(a, p["Wh"], precision=hp)
+                             + jnp.dot(r * t, p["Uh"], precision=hp))
+            out = (1 - z) * t + z * hcand
         elif din > dout:
             t = jnp.dot(h, p["W_neigh"], precision=jax.lax.Precision.HIGHEST)
             out = aggregate(t)

@@ -81,7 +81,7 @@ def test_sharded_spmm_matches_single(mesh, kw):
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("arch", ["gcn", "sage", "gat"])
+@pytest.mark.parametrize("arch", ["gcn", "sage", "gat", "ggnn"])
 def test_sharded_training_matches_single_device(mesh, arch):
     """Loss trajectory of the 8-shard halo-exchange trainer must track the
     single-device Model (same init, same data)."""
@@ -119,10 +119,13 @@ def test_sharded_training_matches_single_device(mesh, arch):
             single.feats))
     np.testing.assert_allclose(lg_d, lg_s, rtol=1e-4, atol=1e-5)
 
+    # ggnn's GRU gates (sigmoid/tanh products) amplify f32 summation-
+    # order noise faster than the ReLU archs across Adam steps
+    tol = 1e-3 if arch == "ggnn" else 2e-4
     for step in range(3):
         s_loss, _ = single.train_epoch()
         params, opt_state, d_loss = trainer.train_step(params, opt_state)
-        assert abs(s_loss - float(d_loss)) < 2e-4, (step, s_loss, float(d_loss))
+        assert abs(s_loss - float(d_loss)) < tol, (step, s_loss, float(d_loss))
 
     # weights track closely; exact equality is impossible because Adam's
     # early grad/sqrt(v) step amplifies f32 summation-order noise to
