@@ -77,40 +77,74 @@ def distributed_pagerank(mesh: Mesh, g: CSRGraph, rg: CSRGraph | None = None,
     common.h:73-76). Returns (scores (nv,), iterations).
 
     The contribution edge weight 1/outdeg[u] is static, so it ships as
-    the ShardedGraph's edge weights and rides the packed-ELL overlap
-    kernels; only the (nv, 1) rank column moves per iteration.
-    Convergence is checked on host every iteration (one scalar fetch —
-    the analytics-loop pattern, not the training hot path)."""
-    from graphaibench_tpu.parallel.partition import (
-        build_sharded_graph,
-        pad_rows,
+    the ShardedGraph's packed edge weights and rides the ELL overlap
+    kernels; only the (nv_pad, 1) rank column moves per sweep. The
+    whole fixpoint runs in ONE dispatch (lax.while_loop inside
+    shard_map; ~10 ms/dispatch + a blocking fetch per iteration through
+    the tunnel would otherwise dominate, CLAUDE.md)."""
+    from graphaibench_tpu.parallel.halo import halo_exchange
+    from graphaibench_tpu.parallel.partition import build_sharded_graph
+    from graphaibench_tpu.parallel.shard_ell import (
+        build_shard_ell,
+        pack_shard_values,
+        shard_specs,
+        slot_spmm_packed,
+        strip_shard,
     )
-    from graphaibench_tpu.parallel.halo import make_sharded_spmm
 
     if rg is None:
         rg = T.reverse(g)
     nv = g.nv
+    P_ = mesh.devices.size
     out_deg = np.maximum(g.degrees(), 1).astype(np.float32)
     # reverse edge (v -> u) carries original u -> v: weight 1/outdeg[u]
     w = (1.0 / out_deg[rg.col_idx]).astype(np.float32)
     sg = build_sharded_graph(rg, w, mesh.devices.size)
-    spmm = make_sharded_spmm(mesh, sg, axis=axis)
-
+    nv_pad = sg.nv_pad
+    se_own = build_shard_ell(sg, part="own", with_trans=False)
+    se_halo = build_shard_ell(sg, part="halo", with_trans=False)
+    layouts = {"se_own": se_own,
+               "wp_own": pack_shard_values(se_own, sg.edge_w),
+               "se_halo": se_halo,
+               "wp_halo": pack_shard_values(se_halo, sg.edge_w)}
     base = (1.0 - damp) / nv
-    x = np.full((sg.padded_nv, 1), 1.0 / nv, dtype=np.float32)
-    x[nv:] = 0.0
-    scores = jnp.asarray(x)
-    it = 0
-    for it in range(1, max_iter + 1):
-        new = base + damp * spmm(scores)
-        # zero the padding rows so they neither accumulate rank nor
-        # contribute via selfloop-free padded edges
-        new = new.at[nv:].set(0.0)
-        err = float(jnp.abs(new[:nv] - scores[:nv]).sum())
-        scores = new
-        if err < epsilon:
-            break
-    return np.asarray(scores[:nv, 0]), it
+
+    def local(ly, send_idx, halo_map):
+        ly = strip_shard(ly)
+        p = jax.lax.axis_index(axis)
+        own_valid = (p * nv_pad
+                     + jnp.arange(nv_pad, dtype=jnp.int32)) < nv
+        x0 = jnp.where(own_valid, jnp.float32(1.0 / nv), 0.0)[:, None]
+
+        def cond(s):
+            _x, err, it = s
+            return (err >= epsilon) & (it < max_iter)
+
+        def body(s):
+            x, _, it = s
+            halo = halo_exchange(x, send_idx[0], halo_map[0], axis=axis)
+            inc = slot_spmm_packed(nv_pad, ly["se_own"], ly["wp_own"], x)
+            if ly["se_halo"].fwd:
+                inc = inc + slot_spmm_packed(nv_pad, ly["se_halo"],
+                                             ly["wp_halo"], halo)
+            new = jnp.where(own_valid[:, None], base + damp * inc, 0.0)
+            err = jax.lax.psum(jnp.abs(new - x).sum(), axis)
+            return new, err, it + 1
+
+        x, _, it = jax.lax.while_loop(
+            cond, body, (x0, jnp.float32(jnp.inf), jnp.int32(0)))
+        return x, jax.lax.psum(it, axis) // P_
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shard_specs(layouts, axis), P(axis, None, None),
+                  P(axis, None)),
+        out_specs=(P(axis, None), P()),
+        check_vma=False,
+    ))
+    scores, it = fn(jax.tree.map(jnp.asarray, layouts),
+                    jnp.asarray(sg.send_idx), jnp.asarray(sg.halo_map))
+    return np.asarray(scores[:nv, 0]), int(it)
 
 
 def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
@@ -122,24 +156,24 @@ def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
     analytics) and the pull reduction runs on the per-shard ELL buckets
     (the measured-fast primitive) — the multi-host re-expression of the
     pull-mode solvers (analytics/traversal.py, omp_direction.cc:31)."""
-    import jax
-
     from graphaibench_tpu.parallel.halo import halo_exchange
     from graphaibench_tpu.parallel.partition import build_sharded_graph
     from graphaibench_tpu.parallel.shard_ell import (
         build_shard_ell,
         ell_gather_reduce,
+        shard_specs,
+        strip_shard,
     )
 
     rg = T.reverse(g)
     P_ = mesh.devices.size
     sg = build_sharded_graph(rg, np.ones(rg.ne, np.float32), P_)
-    se = build_shard_ell(sg)
+    se = build_shard_ell(sg, with_trans=False)
     nv_pad = sg.nv_pad
     limit = max_iters if max_iters is not None else g.nv + 1
 
     def local(se_s, send_idx, halo_map):
-        se_l = jax.tree.map(lambda a: a[0], se_s)
+        se_l = strip_shard(se_s)
         p = jax.lax.axis_index(axis)
         gid = p * nv_pad + jnp.arange(nv_pad, dtype=jnp.int32)
         x0 = init_fn(gid)
@@ -164,9 +198,7 @@ def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
             cond, body, (x0, jnp.bool_(True), jnp.int32(0)))
         return x, jax.lax.psum(it, axis) // P_
 
-    from jax.sharding import PartitionSpec as P
-    se_spec = jax.tree.map(
-        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), se)
+    se_spec = shard_specs(se, axis)
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(se_spec, P(axis, None, None), P(axis, None)),

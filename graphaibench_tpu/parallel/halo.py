@@ -63,7 +63,9 @@ def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS,
         ShardPackedW,
         build_shard_ell,
         pack_shard_values,
+        shard_specs,
         slot_spmm_packed,
+        strip_shard,
     )
 
     nv_pad = sg.nv_pad
@@ -71,20 +73,20 @@ def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS,
     ell = {"se": empty_se, "wp": empty_wp, "se_own": empty_se,
            "wp_own": empty_wp, "se_halo": empty_se, "wp_halo": empty_wp}
     if use_ell and overlap:
-        se_own = build_shard_ell(sg, part="own")
-        se_halo = build_shard_ell(sg, part="halo")
+        se_own = build_shard_ell(sg, part="own", with_trans=False)
+        se_halo = build_shard_ell(sg, part="halo", with_trans=False)
         ell.update(se_own=se_own,
                    wp_own=pack_shard_values(se_own, sg.edge_w),
                    se_halo=se_halo,
                    wp_halo=pack_shard_values(se_halo, sg.edge_w))
     elif use_ell:
-        se = build_shard_ell(sg)
+        se = build_shard_ell(sg, with_trans=False)
         ell.update(se=se, wp=pack_shard_values(se, sg.edge_w))
 
     def local(x_own, ell, edge_src, col_idx, w, send_idx, halo_map):
         # shard_map gives per-shard blocks with a leading axis of 1
         x_own = x_own.reshape(nv_pad, -1)
-        el = jax.tree.map(lambda a: a[0], ell)
+        el = strip_shard(ell)
         x_halo = halo_exchange(x_own, send_idx[0], halo_map[0], axis=axis)
         if el["se_own"].fwd or el["se_halo"].fwd:
             out = slot_spmm_packed(nv_pad, el["se_own"], el["wp_own"], x_own)
@@ -101,8 +103,7 @@ def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS,
     spec_v = P(axis, None)       # vertex-sharded rows
     spec_e = P(axis, None)       # per-shard edge arrays
     spec_s = P(axis, None, None)
-    ell_spec = jax.tree.map(
-        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), ell)
+    ell_spec = shard_specs(ell, axis)
 
     fn = jax.shard_map(
         local,
@@ -113,11 +114,21 @@ def make_sharded_spmm(mesh: Mesh, sg, *, axis: str = AXIS,
     )
 
     # device-resident graph arrays are passed as jit ARGUMENTS, not
-    # captured constants (tunnelled-TPU compile-size hazard, CLAUDE.md)
+    # captured constants (tunnelled-TPU compile-size hazard, CLAUDE.md).
+    # On the ELL paths the raw (P, e_max) edge arrays are never read by
+    # the traced fn — ship 1-slot placeholders instead of edge-scale
+    # arrays (~0.2 s/MB through the tunnel).
     ell_dev = jax.tree.map(jnp.asarray, ell)
-    edge_src = jnp.asarray(sg.edge_src)
-    col_idx = jnp.asarray(sg.col_idx)
-    w = jnp.asarray(sg.edge_w)
+    P_ = sg.num_shards
+    if use_ell and (ell["se"].fwd or ell["se_own"].fwd
+                    or ell["se_halo"].fwd):
+        edge_src = jnp.zeros((P_, 1), jnp.int32)
+        col_idx = jnp.zeros((P_, 1), jnp.int32)
+        w = jnp.zeros((P_, 1), jnp.float32)
+    else:
+        edge_src = jnp.asarray(sg.edge_src)
+        col_idx = jnp.asarray(sg.col_idx)
+        w = jnp.asarray(sg.edge_w)
     send_idx = jnp.asarray(sg.send_idx)
     halo_map = jnp.asarray(sg.halo_map)
     fn_jit = jax.jit(fn)

@@ -54,6 +54,9 @@ class ShardedGraph:
     # halo exchange plan
     send_idx: np.ndarray   # (P, P, s_max) int32 owned-local ids to send to q
     halo_map: np.ndarray   # (P, h_max) int32 into flattened recv (P*s_max)
+    # real (unpadded) per-shard halo sizes — h_max is padded to >=8;
+    # bandwidth/efficiency models must use these, not P*h_max
+    halo_counts: np.ndarray = None  # (P,) int64
 
     @property
     def padded_nv(self) -> int:
@@ -147,6 +150,7 @@ def build_sharded_graph(
         num_shards=P, nv=g.nv, nv_pad=nv_pad, e_max=e_max, h_max=h_max,
         s_max=s_max, edge_src=edge_src, col_idx=col_idx, edge_w=w_arr,
         edge_valid=valid, edge_gid=egid, send_idx=send_idx, halo_map=halo_map,
+        halo_counts=np.array([len(p_["halo"]) for p_ in per], dtype=np.int64),
     )
 
 

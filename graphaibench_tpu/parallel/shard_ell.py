@@ -110,16 +110,24 @@ class ShardEll:
         return cls(fwd=children[0], trans=children[1], sentinel=aux[0])
 
 
-def local_shard_ell(se: ShardEll) -> ShardEll:
-    """Strip the leading length-1 block axis shard_map hands each shard."""
-    return jax.tree.map(lambda a: a[0], se)
+def strip_shard(tree):
+    """Strip the leading length-1 block axis shard_map hands each shard
+    (any pytree of stacked per-shard arrays)."""
+    return jax.tree.map(lambda a: a[0], tree)
 
 
-def shard_ell_specs(se: ShardEll, axis: str):
-    """PartitionSpec pytree sharding every leaf along its leading axis."""
+def shard_specs(tree, axis: str):
+    """PartitionSpec pytree sharding every leaf along its leading axis
+    (any pytree of stacked per-shard arrays)."""
     from jax.sharding import PartitionSpec as P
 
-    return jax.tree.map(lambda a: P(axis, *([None] * (a.ndim - 1))), se)
+    return jax.tree.map(
+        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), tree)
+
+
+# the historical per-structure names, kept for external callers
+local_shard_ell = strip_shard
+shard_ell_specs = shard_specs
 
 
 def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
@@ -169,7 +177,8 @@ def _stack_layout(per_shard_lists, num_shards, sentinel, n_gather,
 def build_shard_ell(sg, split: Optional[int] = None,
                     seg_rows: int = SEG_ROWS,
                     seg_min_rows: int = SEG_ELL_MIN_NV,
-                    part: str = "all") -> ShardEll:
+                    part: str = "all",
+                    with_trans: bool = True) -> ShardEll:
     """Build both stacked layouts from a host ShardedGraph. The edge-id
     space of shard p is its slot index [0, e_max) with sentinel e_max,
     matching the per-shard edge arrays the trainer already ships.
@@ -224,11 +233,19 @@ def build_shard_ell(sg, split: Optional[int] = None,
             sel = cols >= sg.nv_pad
             rows, cols, eids = rows[sel], cols[sel] - sg.nv_pad, eids[sel]
         fwd_lists.append(layouts(rows, cols, eids, n_fwd_gather, seg_fwd))
-        trans_lists.append(layouts(cols, rows, eids, sg.nv_pad, seg_trans))
+        if with_trans:
+            trans_lists.append(layouts(cols, rows, eids, sg.nv_pad,
+                                       seg_trans))
     fwd = (_stack_layout(fwd_lists, P, e_max, n_fwd_gather, seg_rows)
            if seg_fwd else _stack_bucket_lists(fwd_lists, P, e_max))
-    trans = (_stack_layout(trans_lists, P, e_max, sg.nv_pad, seg_rows)
-             if seg_trans else _stack_bucket_lists(trans_lists, P, e_max))
+    # the transpose layout (the x-adjoint's scatter replacement) is only
+    # needed for training; forward-only consumers (distributed
+    # analytics, the weak-scaling bench) skip the edge-scale build+ship
+    trans = ()
+    if with_trans:
+        trans = (_stack_layout(trans_lists, P, e_max, sg.nv_pad, seg_rows)
+                 if seg_trans else _stack_bucket_lists(trans_lists, P,
+                                                       e_max))
     return ShardEll(fwd=fwd, trans=trans, sentinel=e_max)
 
 

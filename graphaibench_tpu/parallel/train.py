@@ -6,9 +6,9 @@ layers (parallel.halo), replicated weights, gradient psum over the mesh
 axis — pjit/shard_map replacing the reference's per-GPU host threads +
 MPI_Allreduce + NVSHMEM (SURVEY.md §2.4).
 
-Supports GCN, SAGE (static aggregation weights), and GAT (runtime
-attention scores with a local segment softmax; edge validity masks the
-padding).
+Supports GCN, SAGE, and GGNN (static aggregation weights, own/halo
+overlap split) and GAT (runtime attention via the fused v2 kernel on
+the unified extended-table layout).
 """
 
 from __future__ import annotations
@@ -32,8 +32,10 @@ from graphaibench_tpu.parallel.shard_ell import (
     build_shard_ell,
     gat_fused_local_v2,
     pack_shard_values,
+    shard_specs,
     slot_spmm,
     slot_spmm_packed,
+    strip_shard,
 )
 
 
@@ -232,8 +234,7 @@ def make_sharded_trainer(
         ell_host.update(
             se_own=se_own, wp_own=pack_shard_values(se_own, sg.edge_w),
             se_halo=se_halo, wp_halo=pack_shard_values(se_halo, sg.edge_w))
-    ell_spec = jax.tree.map(
-        lambda a: P(axis, *([None] * (np.asarray(a).ndim - 1))), ell_host)
+    ell_spec = shard_specs(ell_host, axis)
     ell_dev = jax.tree.map(
         lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
         ell_host, ell_spec)
@@ -264,8 +265,7 @@ def make_sharded_trainer(
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         loss, grads = jax.value_and_grad(local_loss)(
-            params, x_own, lab_own, valid_own, ga,
-            jax.tree.map(lambda a: a[0], ell)
+            params, x_own, lab_own, valid_own, ga, strip_shard(ell)
         )
         grads = jax.lax.psum(grads, axis)
         new_params, new_opt = opt.update(grads, opt_state, params)
@@ -318,7 +318,7 @@ def make_sharded_trainer(
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
         return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis,
-                                    ell=jax.tree.map(lambda a: a[0], ell))
+                                    ell=strip_shard(ell))
 
     logits_sm = jax.shard_map(
         local_logits,

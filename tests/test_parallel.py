@@ -155,7 +155,6 @@ def test_overlap_split_matches_unified(mesh):
     the all_to_all) must agree with the unified extended-table layout:
     same edges, disjointly partitioned, scatter-added into the same
     rows."""
-    from graphaibench_tpu.graph.io import GnnDataset
     from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
     from graphaibench_tpu.nn.optim import Adam
     from graphaibench_tpu.parallel.shard_ell import build_shard_ell
@@ -166,9 +165,6 @@ def test_overlap_split_matches_unified(mesh):
     labels = rng.integers(0, 4, g.nv).astype(np.int32)
     mask = np.ones(g.nv, dtype=np.uint8)
     tr = (0, g.nv, g.nv)
-    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
-                    val_mask=mask, test_mask=mask, num_classes=4,
-                    train_range=tr, val_range=tr, test_range=tr)
     cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=16, dim_hid=8,
                       num_cls=4, lr=0.02)
     prepped = prepare_graph(g, "gcn")

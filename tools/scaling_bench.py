@@ -71,12 +71,15 @@ def main():
         spmm(x).block_until_ready()
         iters = 10 if not args.cpu else 3
         t0 = time.perf_counter()
+        out = x
         for _ in range(iters):
-            out = spmm(x)
+            # CHAINED protocol (CLAUDE.md): output feeds the next input
+            # so iterations cannot overlap — independent-iteration loops
+            # overstate throughput ~40%. The serial chain also keeps the
+            # CPU virtual mesh from starving the all_to_all rendezvous
+            # (40 s deadline -> SIGABRT when iterations race).
+            out = spmm(out)
             if args.cpu:
-                # on the single-host virtual mesh all 8 device threads
-                # share the cores; queuing iterations unblocked starves
-                # the all_to_all rendezvous (40 s deadline -> SIGABRT)
                 out.block_until_ready()
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / iters
@@ -96,8 +99,7 @@ def main():
         # B/s) remains from specs — one real chip cannot exercise ICI.
         #   compute  ~ per-shard edges / measured sharded-kernel rate
         #   comm     ~ halo feature bytes over ICI
-        halo_total = int((sg.halo_map >= 0).sum()) if hasattr(
-            sg, "halo_map") else 0
+        halo_total = int(sg.halo_counts.sum())
         halo_bytes = halo_total / n * args.feat * 4
         p1_ratio = 0.9            # measured sharded/single epoch ratio
         comp_s = (g.ne / n) / (2.65e8 * p1_ratio)
