@@ -10,6 +10,12 @@ cpu_train_{gcn,sage,gat,ggnn} binaries).
 Dataset resolution: an absolute/existing path is used directly; otherwise
 ``$DATASET_PATH/<name>`` (configs.h:5) and finally the bundled reference
 fixtures are tried.
+
+``GAB_SHARDS=<n|auto>`` routes full-batch training onto the
+vertex-sharded halo-exchange trainer over a mesh of n devices
+(parallel/train.py — the production multi-chip path), keeping the same
+argv. Loss trajectory and test accuracy match the single-chip Model to
+f32 summation-order tolerance.
 """
 
 from __future__ import annotations
@@ -88,6 +94,12 @@ def cmd_train(argv: list[str]) -> int:
         f"score_drop = {score_drop}, subg_size = {subg_size}, "
         f"val_interval = {val_interval}, learning_rate = {lr}"
     )
+    shards = os.environ.get("GAB_SHARDS", "")
+    if shards and subg_size == 0 and not inductive:
+        # the production multi-chip path from the CLI: vertex-sharded
+        # halo-exchange trainer over a mesh of N devices (GAB_SHARDS=N,
+        # or "auto" for every visible device)
+        return _train_sharded(cfg, ds, epochs, val_interval, shards)
     if subg_size > 0:
         from graphaibench_tpu.nn.sampler import SaintSampler  # noqa: F401
         model = Model(cfg, ds, inductive=True)
@@ -96,6 +108,62 @@ def cmd_train(argv: list[str]) -> int:
         model = Model(cfg, ds, inductive=inductive)
         model.train(epochs, val_interval=val_interval)
     print(f"Test accuracy: {model.evaluate('test'):.4f}")
+    return 0
+
+
+def _train_sharded(cfg, ds, epochs: int, val_interval: int,
+                   shards: str) -> int:
+    """Full-batch training on the vertex-sharded halo-exchange trainer
+    (parallel/train.py) with reference-style epoch lines and the same
+    masked test accuracy as the single-chip Model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from graphaibench_tpu.nn.layers import init_params
+    from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
+    from graphaibench_tpu.nn.optim import OPTIMIZERS
+    from graphaibench_tpu.ops import math as gmath
+    from graphaibench_tpu.parallel import (
+        AXIS,
+        build_sharded_graph,
+        make_sharded_trainer,
+    )
+
+    n = len(jax.devices()) if shards == "auto" else int(shards)
+    n = max(1, min(n, len(jax.devices())))
+    mesh = Mesh(np.array(jax.devices()[:n]), (AXIS,))
+    print(f"sharded trainer: {n} device(s), vertex-sharded halo exchange")
+
+    prepped = prepare_graph(ds.graph, cfg.arch)
+    w = aggregation_weights(prepped, cfg.arch)
+    sg = build_sharded_graph(prepped, w, n)
+    trainer = make_sharded_trainer(mesh, cfg, sg, ds.feats, ds.labels,
+                                   ds.train_range, ds.train_mask)
+    params = init_params(cfg)
+    opt_state = OPTIMIZERS["adam"](lr=cfg.lr).init(params)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    for epoch in range(epochs):
+        params, opt_state, loss = trainer.train_step(params, opt_state)
+        print(f"Epoch {epoch:3d}: train_loss = {float(loss):.4f}")
+    dt = _time.perf_counter() - t0
+    print(f"time per epoch: {dt / max(epochs, 1):.4f} s")
+
+    logits = jnp.asarray(trainer.eval_logits(params))
+    begin, end, _ = ds.test_range
+    idx = jnp.arange(logits.shape[0])
+    valid = (idx >= begin) & (idx < end) & (
+        jnp.asarray(ds.test_mask) != 0)
+    labels = jnp.asarray(ds.labels)
+    if cfg.is_sigmoid:
+        acc = float(gmath.masked_f1_micro(jax.nn.sigmoid(logits), labels,
+                                          valid))
+    else:
+        acc = float(gmath.masked_accuracy_single(logits, labels, valid))
+    print(f"Test accuracy: {acc:.4f}")
     return 0
 
 
