@@ -60,9 +60,10 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
             try:
                 g = cgr_decode_device(cg)
                 print("decoded cgr on device")
-            # ValueError: interval/tiny-segment streams; AssertionError:
-            # streams past the int32 bit-position / trip-grid limits —
-            # all handled fine by the host decoder
+            # ValueError: tiny-segment/unary streams or an inconsistent
+            # parse (oversized multi-slot segments); AssertionError:
+            # streams past the int32 bit-position limit — all handled
+            # fine by the host decoder
             except (ValueError, AssertionError) as e:
                 from graphaibench_tpu.compress.cli import decode_any
 

@@ -11,24 +11,36 @@ vertex v starts at the statically computable bit position
 (each segment's first residual is coded against v, continuations against
 the in-segment predecessor).
 
-The decoder therefore runs in three vectorized phases:
+The decoder therefore runs in vectorized phases:
 
-  1. header pass, one lane per VERTEX (2 sequential gamma codes:
-     optional degree, then num_segments-1) -> segs_base,
+  1. header pass, one lane per VERTEX (sequential gamma codes: optional
+     degree, then the first section's num_segments-1),
   2. count pass, one lane per (vertex, segment) (1 gamma code),
   3. residual pass: a lax.scan of at most ``trip`` zeta_k codes where
      every (vertex, segment) lane decodes one code per step — the
      segment length bounds the trip count by ~res_seg_len/3 REGARDLESS
      of degree skew (a hub's 20k-edge list is just 20k/res_cnt lanes).
 
+Interval-coded streams (use_interval=True, the reference's headline CGR
+mode) add two phases in front: the interval segments decode with the
+same (count pass + bucketed scan) machinery — two gamma codes per
+interval (left delta, length) — and, because the LAST interval segment
+is unpadded, the scan's final bit position IS each vertex's residual
+section base. Interval expansion to edge ids happens on device with the
+exact integer scatter-delta + cumsum trick (CLAUDE.md: ints only), and
+the per-row merge of sorted residuals with sorted interval runs is one
+lexicographic (row, value) ``lax.sort`` over the whole edge array.
+
 All bit reads are 32-bit windows from a word-pair gather (bytes packed
 MSB-first -> big-endian word view), leading-zero counts via lax.clz.
 
-Reference analog: include/cgr_decoder.cuh:269 + the segmented GPU TC
-kernels (src/structure/tc_gpu_compressed.cu) which assign segments to
-warps the same way. Interval-coded streams (use_interval=True) and
-res_seg_len < 64 (where a single zeta code could straddle a segment
-slot) fall back to the host decoder.
+Reference analog: include/cgr_decoder.cuh:269 (interval+residual device
+decode) + the segmented GPU TC kernels (src/structure/tc_gpu_compressed
+.cu) which assign segments to warps the same way. Unary (res_seg_len=0)
+streams fall back to the host decoder, as does any stream whose parse
+turns out inconsistent — oversized multi-slot segments are detected
+EXACTLY from each scan's final bit position (see
+_check_closed_segments_fit), and the derived edge total must match ne.
 """
 
 from __future__ import annotations
@@ -146,6 +158,83 @@ def _counts(pairs, seg_start, active):
     return jnp.where(active, c, 0), seg_start + nb
 
 
+@functools.partial(jax.jit, static_argnames=("add_degree",))
+def _headers_itv(pairs, bit_off, add_degree: bool):
+    """Per-vertex header decode for interval streams -> (itv_nsegs,
+    itv_base). The residual-section header follows the (unpadded) last
+    interval segment, so its position comes out of the interval scan."""
+    p = bit_off
+    if add_degree:
+        d, nb = _read_gamma(pairs, p)
+        p = p + nb
+        ns, nb2 = _read_gamma(pairs, p)
+        nsegs = jnp.where(d == 0, 0, ns + 1)
+        base = p + nb2
+    else:
+        ns, nb2 = _read_gamma(pairs, p)
+        nsegs = ns + 1
+        base = p + nb2
+    return nsegs, base
+
+
+@functools.partial(jax.jit, static_argnames=("min_itv_len", "trip", "n_itv"),
+                   donate_argnames=("left_all", "len_all"))
+def _interval_pass(quads, data_p, counts, lane_v, base, left_all, len_all,
+                   min_itv_len: int, trip: int, n_itv: int):
+    """Decode up to ``trip`` (left, len) interval pairs per lane — two
+    gamma codes each (cgr_encoder.cc interval semantics: the segment's
+    first left is int2nat(left - v), continuations are gap-coded against
+    prev_left + prev_len + 1; lengths are biased by min_itv_len). Also
+    returns each lane's final bit position: for a vertex's LAST segment
+    that is exactly where its residual section starts."""
+    zeros = jnp.zeros_like(data_p)
+
+    def step(carry, _):
+        p, prev_left, prev_len, i = carry
+        x1, nb1 = _read_code_quad(quads, p, 1)
+        x2, nb2 = _read_code_quad(quads, p + nb1, 1)
+        left = jnp.where(i == 0, lane_v + _nat2int(x1),
+                         prev_left + prev_len + 1 + x1)
+        ln = x2 + min_itv_len
+        active = i < counts
+        p = jnp.where(active, p + nb1 + nb2, p)
+        prev_left = jnp.where(active, left, prev_left)
+        prev_len = jnp.where(active, ln, prev_len)
+        return (p, prev_left, prev_len, i + 1), (
+            jnp.where(active, left, 0), jnp.where(active, ln, 0))
+
+    (p_fin, _, _, _), (lefts, lens) = jax.lax.scan(
+        step, (data_p, zeros, zeros, jnp.int32(0)), None,
+        length=trip, unroll=min(8, trip))
+    i = jnp.arange(trip, dtype=jnp.int32)[:, None]
+    slots = jnp.where(i < counts[None, :], base[None, :] + i, n_itv)
+    left_all = left_all.at[slots].set(lefts, mode="drop")
+    len_all = len_all.at[slots].set(lens, mode="drop")
+    return left_all, len_all, p_fin
+
+
+@functools.partial(jax.jit, static_argnames=("n_total",), donate_argnames=("col",))
+def _expand_intervals(col, left_all, id_base, slot_base, n_total: int):
+    """Expand decoded (left, len) intervals into edge ids ON DEVICE and
+    scatter them into their final col slots. Both the id stream and the
+    slot stream are affine in the flat position s (value = const_j + s
+    within interval j), so each is one scatter of per-interval constant
+    deltas + an int32 cumsum (exact for ints, CLAUDE.md) — no (ne,)-
+    sized host uploads through the tunnel."""
+    s = jnp.arange(n_total, dtype=jnp.int32)
+    val_const = left_all - id_base          # value at s = val_const_j + s
+    slot_const = slot_base - id_base        # slot  at s = slot_const_j + s
+    dval = val_const - jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), val_const[:-1]])
+    dslot = slot_const - jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), slot_const[:-1]])
+    ids = jnp.zeros((n_total,), jnp.int32).at[id_base].add(
+        dval, mode="drop").cumsum() + s
+    slots = jnp.zeros((n_total,), jnp.int32).at[id_base].add(
+        dslot, mode="drop").cumsum() + s
+    return col.at[slots].set(ids, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("k", "trip", "ne"),
                    donate_argnames=("col",))
 def _residual_pass(quads, data_p, counts, lane_v, base, col, k: int,
@@ -167,16 +256,34 @@ def _residual_pass(quads, data_p, counts, lane_v, base, col, k: int,
     # unroll: the per-step fixed cost (one small dependent kernel per
     # code) dominates at ~1.5 ms/step through the tunnel; unrolling
     # fuses 8 codes per loop iteration (measured 13.6 -> see BASELINE)
-    _, vals = jax.lax.scan(step, (data_p, zeros, jnp.int32(0)), None,
-                           length=trip, unroll=min(8, trip))  # (trip, L)
+    (p_fin, _, _), vals = jax.lax.scan(
+        step, (data_p, zeros, jnp.int32(0)), None,
+        length=trip, unroll=min(8, trip))                     # (trip, L)
     i = jnp.arange(trip, dtype=jnp.int32)[:, None]
     slots = jnp.where(i < counts[None, :], base[None, :] + i, ne)
-    return col.at[slots].set(vals, mode="drop")
+    return col.at[slots].set(vals, mode="drop"), p_fin
 
 
 def _gamma_len_np(x: np.ndarray) -> np.ndarray:
     """Host gamma bit length: 2*floor(log2(x+1)) + 1."""
     return 2 * (np.floor(np.log2(x + 1)).astype(np.int64)) + 1
+
+
+def _check_closed_segments_fit(pfin, seg_start, lane_k, nsegs, lane_v,
+                               seg_len: int, what: str):
+    """EXACT mis-parse detector: the device path assumes every closed
+    segment occupies one seg_len slot (static stride). The encoder
+    closes segments before overflow, so the only violation is a single
+    item whose codes alone exceed seg_len (the reference encoder's
+    multi-slot append_segment case). The first such segment of a vertex
+    still decodes at a correct start, so its measured content length
+    (final scan position - segment start) exceeding seg_len is a
+    precise witness — raise and let the caller fall back to host."""
+    closed = lane_k < (nsegs[lane_v] - 1)
+    if np.any((pfin - seg_start)[closed] > seg_len):
+        raise ValueError(
+            f"device CGR decode: oversized multi-slot {what} segment "
+            f"(static {seg_len}-bit stride mis-parses this stream)")
 
 
 def _pow2_pad(n: int, lo: int = 1024) -> int:
@@ -199,13 +306,8 @@ def cgr_decode_device(cg) -> CSRGraph:
     tiny segments); callers fall back to the host decoder, mirroring the
     reference's CPU decode path."""
     cfg = cg.cfg
-    if cfg.use_interval:
-        raise ValueError("device CGR decode: interval streams unsupported")
     if cfg.res_seg_len == 0:
         raise ValueError("device CGR decode: unsegmented (unary) stream")
-    if cfg.res_seg_len < 64:
-        raise ValueError("device CGR decode: res_seg_len < 64 may split "
-                         "a single zeta code across segment slots")
     nv, ne = cg.nv, cg.ne
     unit = cfg.unit_bits
     seg_len = cfg.res_seg_len
@@ -222,9 +324,17 @@ def cgr_decode_device(cg) -> CSRGraph:
     assert bits[-1] < 2**31, "stream too large for int32 bit positions"
     bit_off = jnp.asarray(bits[:nv].astype(np.int32))
 
-    nsegs_d, segs_base_d = _headers(pairs, bit_off, cfg.add_degree)
-    nsegs = np.asarray(nsegs_d).astype(np.int64)
-    segs_base = np.asarray(segs_base_d)
+    if cfg.use_interval:
+        (nsegs, segs_base, itv_vertex, left_all, itv_lens,
+         n_itv) = _decode_interval_sections(cg, pairs, quads, bit_off)
+    else:
+        nsegs_d, segs_base_d = _headers(pairs, bit_off, cfg.add_degree)
+        nsegs = np.asarray(nsegs_d).astype(np.int64)
+        segs_base = np.asarray(segs_base_d)
+        itv_vertex = np.zeros(0, np.int32)
+        left_all = jnp.zeros((0,), jnp.int32)
+        itv_lens = np.zeros(0, np.int64)
+        n_itv = 0
 
     # exact (vertex, segment) lanes, in CSR order
     lane_v = np.repeat(np.arange(nv, dtype=np.int32), nsegs)
@@ -233,24 +343,43 @@ def cgr_decode_device(cg) -> CSRGraph:
               - starts[lane_v]).astype(np.int32)
     seg_start = segs_base[lane_v] + lane_k * seg_len
     L = len(lane_v)
-    if L == 0 or ne == 0:
+    if (L == 0 and n_itv == 0) or ne == 0:
+        if ne != 0:
+            raise ValueError("device CGR decode: parsed zero segments "
+                             "for a non-empty graph")
         row_ptr = np.zeros(nv + 1, np.int64)
         return CSRGraph(row_ptr=row_ptr, col_idx=np.zeros(0, np.int32))
 
-    counts_d, _ = _counts(pairs, jnp.asarray(seg_start),
-                          jnp.ones(L, bool))
-    counts = np.asarray(counts_d).astype(np.int64)
+    if L:
+        counts_d, _ = _counts(pairs, jnp.asarray(seg_start),
+                              jnp.ones(L, bool))
+        counts = np.asarray(counts_d).astype(np.int64)
+    else:
+        counts = np.zeros(0, np.int64)
 
     data_p = (seg_start + _gamma_len_np(counts)).astype(np.int32)
-    base = (np.cumsum(counts) - counts).astype(np.int32)
-    deg = np.zeros(nv, np.int64)
-    np.add.at(deg, lane_v, counts)
+    nres = np.zeros(nv, np.int64)
+    np.add.at(nres, lane_v, counts)
+    deg = nres.copy()
+    np.add.at(deg, itv_vertex, itv_lens)
     row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
-    assert row_ptr[-1] == ne, (row_ptr[-1], ne)
+    if row_ptr[-1] != ne:
+        # a mis-parse (e.g. an oversized segment spilling over its
+        # statically-strided slot) surfaces here; host decode handles it
+        raise ValueError(
+            f"device CGR decode: stream parse mismatch "
+            f"({row_ptr[-1]} != {ne} edges — oversized segment?)")
+    # residual slots interleave with interval ids per row: each row is
+    # [residuals (sorted)][interval ids (sorted)], merged by the final
+    # lexicographic sort below
+    res_start = np.concatenate([[0], np.cumsum(nres)[:-1]])
+    gidx = np.cumsum(counts) - counts       # global residual index
+    base = (row_ptr[lane_v] + (gidx - res_start[lane_v])).astype(np.int32)
 
     # count-bucketed residual scans (pow2 trip grid; lane counts padded
     # to a pow2 so compile shapes stay bounded across graphs)
     col = jnp.zeros((ne,), jnp.int32)
+    pfin = data_p.copy()            # zero-count lanes end after gamma(0)
     order = np.argsort(counts, kind="stable")
     sorted_counts = counts[order]
     # the merged last segment can hold up to ~2*seg_len/3 codes, so the
@@ -266,7 +395,7 @@ def cgr_decode_device(cg) -> CSRGraph:
             continue
         n_pad = _pow2_pad(len(sel))
         padder = np.zeros(n_pad - len(sel), np.int32)
-        col = _residual_pass(
+        col, pf = _residual_pass(
             quads,
             jnp.asarray(np.concatenate([data_p[sel], padder])),
             jnp.asarray(np.concatenate(
@@ -274,6 +403,106 @@ def cgr_decode_device(cg) -> CSRGraph:
             jnp.asarray(np.concatenate([lane_v[sel], padder])),
             jnp.asarray(np.concatenate([base[sel], padder])),
             col, cfg.zeta_k, trip, ne)
-    assert lo == L or sorted_counts[lo] <= trips[-1], "count exceeds grid"
+        pfin[sel] = np.asarray(pf)[:len(sel)]
+    if not (lo == L or sorted_counts[lo] <= trips[-1]):
+        raise ValueError("device CGR decode: count exceeds trip grid")
+    _check_closed_segments_fit(pfin, seg_start, lane_k, nsegs, lane_v,
+                               seg_len, "residual")
+
+    if n_itv:
+        # per-interval id/slot bases (host, small: one entry per
+        # interval, not per edge)
+        id_base = (np.cumsum(itv_lens) - itv_lens)      # global id index
+        itv_start_of_v = np.zeros(nv, np.int64)         # first id index
+        np.add.at(itv_start_of_v, itv_vertex, itv_lens)
+        itv_start_of_v = np.concatenate(
+            [[0], np.cumsum(itv_start_of_v)[:-1]])
+        slot_base = (row_ptr[itv_vertex] + nres[itv_vertex]
+                     + (id_base - itv_start_of_v[itv_vertex]))
+        n_total = int(itv_lens.sum())
+        col = _expand_intervals(
+            col, left_all, jnp.asarray(id_base.astype(np.int32)),
+            jnp.asarray(slot_base.astype(np.int32)), n_total)
+        # merge sorted residuals with sorted interval runs per row:
+        # one lexicographic (row, value) sort over the edge array
+        src = jnp.zeros((ne,), jnp.int32).at[
+            jnp.asarray(row_ptr[1:-1].astype(np.int32))].add(
+                1, mode="drop").cumsum()
+        _, col = jax.lax.sort((src, col), num_keys=2)
     return CSRGraph(row_ptr=row_ptr,
                     col_idx=np.asarray(col, dtype=np.int32))
+
+
+def _decode_interval_sections(cg, pairs, quads, bit_off):
+    """Phases 1-2 for interval streams: per-vertex interval headers,
+    then (count pass + bucketed 2-gamma scans) over (vertex, interval-
+    segment) lanes. Returns the residual-section header-derived
+    (nsegs, segs_base) — read at each vertex's post-interval bit
+    position — plus the decoded intervals (vertex, left, len)."""
+    cfg = cg.cfg
+    nv = cg.nv
+    itv_nsegs_d, itv_base_d = _headers_itv(pairs, bit_off, cfg.add_degree)
+    itv_nsegs = np.asarray(itv_nsegs_d).astype(np.int64)
+    itv_base = np.asarray(itv_base_d)
+
+    ilane_v = np.repeat(np.arange(nv, dtype=np.int32), itv_nsegs)
+    istarts = np.concatenate([[0], np.cumsum(itv_nsegs)[:-1]])
+    ilane_k = (np.arange(len(ilane_v), dtype=np.int64)
+               - istarts[ilane_v]).astype(np.int32)
+    iseg_start = itv_base[ilane_v] + ilane_k * cfg.itv_seg_len
+    Li = len(ilane_v)
+    if Li:
+        icnt_d, _ = _counts(pairs, jnp.asarray(iseg_start),
+                            jnp.ones(Li, bool))
+        icnt = np.asarray(icnt_d).astype(np.int64)
+    else:
+        icnt = np.zeros(0, np.int64)
+    n_itv = int(icnt.sum())
+
+    idata_p = (iseg_start + _gamma_len_np(icnt)).astype(np.int32)
+    ibase = (np.cumsum(icnt) - icnt).astype(np.int32)
+    left_all = jnp.zeros((n_itv,), jnp.int32)
+    len_all = jnp.zeros((n_itv,), jnp.int32)
+    # lanes with zero intervals end right after their gamma(0) count
+    pfin = idata_p.copy()
+
+    order = np.argsort(icnt, kind="stable")
+    sorted_icnt = icnt[order]
+    itrips = [t for t in (2, 8, 32, 128, 512, 2048)
+              if t <= 2 * cfg.itv_seg_len]
+    lo = 0
+    for trip in itrips:
+        hi = np.searchsorted(sorted_icnt, trip, side="right")
+        sel = order[lo:hi]
+        sel = sel[icnt[sel] > 0]
+        lo = hi
+        if len(sel) == 0:
+            continue
+        n_pad = _pow2_pad(len(sel))
+        padder = np.zeros(n_pad - len(sel), np.int32)
+        left_all, len_all, pf = _interval_pass(
+            quads,
+            jnp.asarray(np.concatenate([idata_p[sel], padder])),
+            jnp.asarray(np.concatenate([icnt[sel].astype(np.int32), padder])),
+            jnp.asarray(np.concatenate([ilane_v[sel], padder])),
+            jnp.asarray(np.concatenate([ibase[sel], padder])),
+            left_all, len_all, cfg.min_itv_len, trip, n_itv)
+        pfin[sel] = np.asarray(pf)[:len(sel)]
+    if not (lo == Li or sorted_icnt[lo] <= itrips[-1]):
+        raise ValueError("device CGR decode: interval count exceeds grid")
+    _check_closed_segments_fit(pfin, iseg_start, ilane_k, itv_nsegs,
+                               ilane_v, cfg.itv_seg_len, "interval")
+
+    # the residual-section header sits where the LAST (unpadded)
+    # interval segment ended; vertices with no interval section
+    # (add_degree streams with degree 0) have no residual section either
+    last_lane = np.clip(istarts + itv_nsegs - 1, 0, None)
+    res_pos = np.where(itv_nsegs > 0, pfin[last_lane], 0).astype(np.int32)
+    ns_d, sb_d = _headers(pairs, jnp.asarray(res_pos), False)
+    nsegs = np.where(itv_nsegs > 0,
+                     np.asarray(ns_d).astype(np.int64), 0)
+    segs_base = np.asarray(sb_d)
+
+    itv_vertex = np.repeat(ilane_v, icnt)
+    itv_lens = np.asarray(len_all).astype(np.int64)
+    return nsegs, segs_base, itv_vertex, left_all, itv_lens, n_itv

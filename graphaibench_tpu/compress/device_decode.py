@@ -347,7 +347,7 @@ def decode_hybrid_device(hg) -> CSRGraph:
                 continue
             n_pad = CD._pow2_pad(len(sel))
             pd = np.zeros(n_pad - len(sel), np.int32)
-            col = CD._residual_pass(
+            col, _ = CD._residual_pass(
                 quads,
                 jnp.asarray(np.concatenate([data_p[sel], pd])),
                 jnp.asarray(np.concatenate([counts[sel].astype(np.int32),

@@ -340,6 +340,50 @@ def test_cgr_device_decode_matches_host():
                                           err_msg=str(kw))
 
 
+def test_cgr_device_decode_intervals_match_host():
+    """Interval-coded streams (the reference's headline CGR mode,
+    cgr_encoder.cc intervals + cgr_decoder.cuh:168 interval segments)
+    must decode on device to the exact CSR: runs of consecutive ids
+    exercise segment closing, the merged trailing partial segment, and
+    the residual/interval per-row merge."""
+    import numpy as np
+
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.csr import from_edges
+    from graphaibench_tpu.graph.generators import rmat
+
+    rng = np.random.default_rng(7)
+    src, dst = [], []
+    nv = 300
+    for v in range(nv):
+        run = int(rng.integers(0, 12))       # consecutive run -> interval
+        for t in range(run):
+            if v + 1 + t < nv:
+                src.append(v)
+                dst.append(v + 1 + t)
+        for _ in range(int(rng.integers(0, 6))):   # scattered residuals
+            src.append(v)
+            dst.append(int(rng.integers(0, nv)))
+    runs_graph = T.sort_and_clean(
+        from_edges(np.asarray(src), np.asarray(dst), nv))
+    graphs = [runs_graph, T.sort_and_clean(rmat(9, 8, seed=1))]
+    cfgs = [dict(), dict(add_degree=True), dict(itv_seg_len=128),
+            dict(min_itv_len=2), dict(zeta_k=3), dict(alignment="byte")]
+    for g in graphs:
+        for kw in cfgs:
+            cg = cgr.encode_graph(
+                g, cgr.CgrConfig(use_interval=True,
+                                 **{"itv_seg_len": 64, **kw}))
+            got = cgr_decode_device(cg)
+            np.testing.assert_array_equal(
+                np.asarray(got.row_ptr), np.asarray(g.row_ptr),
+                err_msg=str(kw))
+            np.testing.assert_array_equal(got.col_idx, g.col_idx,
+                                          err_msg=str(kw))
+
+
 def test_cgr_device_decode_rejects_unsupported():
     import pytest as _pytest
 
@@ -349,11 +393,52 @@ def test_cgr_device_decode_rejects_unsupported():
     from graphaibench_tpu.graph.generators import uniform_random
 
     g = T.sort_and_clean(uniform_random(50, 150, seed=0))
-    for kw in (dict(use_interval=True), dict(res_seg_len=0),
-               dict(res_seg_len=32)):
+    cg = cgr.encode_graph(g, cgr.CgrConfig(res_seg_len=0))
+    with _pytest.raises(ValueError):
+        cgr_decode_device(cg)
+
+
+def test_cgr_device_decode_small_segments():
+    """Small segment lengths (incl. the reference encoder's default
+    itv_seg_len=32, cgr_encoder.hh:37) decode exactly when no segment
+    overflows its slot; an oversized multi-slot segment (the reference's
+    append_segment alignment case) is detected EXACTLY and raises for
+    the host fallback instead of mis-parsing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.csr import from_edges
+    from graphaibench_tpu.graph.generators import uniform_random
+
+    g = T.sort_and_clean(uniform_random(60, 180, seed=3))
+    for kw in (dict(res_seg_len=32), dict(res_seg_len=64),
+               dict(use_interval=True, itv_seg_len=32)):
         cg = cgr.encode_graph(g, cgr.CgrConfig(**kw))
-        with _pytest.raises(ValueError):
-            cgr_decode_device(cg)
+        try:
+            got = cgr_decode_device(cg)
+        except ValueError:
+            continue    # oversized segment -> loud host fallback: fine
+        np.testing.assert_array_equal(got.col_idx, g.col_idx,
+                                      err_msg=str(kw))
+
+    # force an oversized CLOSED residual segment: vertex 0's residuals
+    # each need a ~40-bit gamma (> the 32-bit slot), so each forms its
+    # own segment; with three of them the FIRST segment stays closed
+    # (the trailing partial group only merges into the last closed one)
+    # and occupies multiple slots — the static stride would mis-parse;
+    # the detector must raise (host decode stays exact)
+    nv = 1 << 22
+    src = np.asarray([0, 0, 0])
+    dst = np.asarray([1 << 20, (1 << 20) + (1 << 19), 1 << 21])
+    g2 = T.sort_and_clean(from_edges(src, dst, nv))
+    cg2 = cgr.encode_graph(g2, cgr.CgrConfig(res_seg_len=32, zeta_k=1))
+    host = cgr.decode_graph(cg2)
+    np.testing.assert_array_equal(host.col_idx, g2.col_idx)
+    with _pytest.raises(ValueError):
+        cgr_decode_device(cg2)
 
 
 def test_tc_golden_via_cgr_device_decode(tmp_path):
@@ -368,6 +453,10 @@ def test_tc_golden_via_cgr_device_decode(tmp_path):
     cg = cgr.encode_graph(g, cgr.CgrConfig(use_interval=False))
     g2 = cgr_decode_device(cg)
     assert triangle_count(g2) == 1166
+    cgi = cgr.encode_graph(g, cgr.CgrConfig(use_interval=True,
+                                            itv_seg_len=64))
+    g3 = cgr_decode_device(cgi)
+    assert triangle_count(g3) == 1166
 
 
 def test_hybrid_device_decode_matches_host():
