@@ -4,6 +4,7 @@ from graphaibench_tpu.parallel.train import ShardedTrainer, make_sharded_trainer
 from graphaibench_tpu.parallel.dist_analytics import (  # noqa: F401
     distributed_bfs,
     distributed_cc,
+    distributed_sssp,
     distributed_pagerank,
     distributed_triangle_count,
 )

@@ -148,32 +148,46 @@ def distributed_pagerank(mesh: Mesh, g: CSRGraph, rg: CSRGraph | None = None,
 
 
 def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
-                        axis: str = AXIS, max_iters: int | None = None):
+                        axis: str = AXIS, max_iters: int | None = None,
+                        weights: np.ndarray | None = None):
     """Shared machinery for the distributed frontier solvers: iterate
     x_own <- relax(x_own, m) with m[r] = min over incoming edges (r<-c)
-    of x_ext[c], until a psum'd change flag clears. The halo depths move
-    with one all_to_all per sweep (the per-layer GNN exchange reused for
-    analytics) and the pull reduction runs on the per-shard ELL buckets
-    (the measured-fast primitive) — the multi-host re-expression of the
-    pull-mode solvers (analytics/traversal.py, omp_direction.cc:31)."""
+    of x_ext[c] (unweighted) or x_ext[c] + w(c->r) (``weights`` given:
+    the tropical min-plus relaxation behind SSSP), until a psum'd change
+    flag clears. The halo depths move with one all_to_all per sweep (the
+    per-layer GNN exchange reused for analytics) and the pull reduction
+    runs on the per-shard ELL buckets (the measured-fast primitive) —
+    the multi-host re-expression of the pull-mode solvers
+    (analytics/traversal.py, omp_direction.cc:31)."""
     from graphaibench_tpu.parallel.halo import halo_exchange
     from graphaibench_tpu.parallel.partition import build_sharded_graph
     from graphaibench_tpu.parallel.shard_ell import (
         build_shard_ell,
         ell_gather_reduce,
+        ell_gather_reduce_plus,
+        pack_shard_values,
         shard_specs,
         strip_shard,
     )
 
     rg = T.reverse(g)
     P_ = mesh.devices.size
-    sg = build_sharded_graph(rg, np.ones(rg.ne, np.float32), P_)
+    if weights is not None:
+        # reverse edge k carries the ORIGINAL edge's weight: the
+        # transpose permutation maps rg's CSR order back to g's edge ids
+        w_rev = np.asarray(weights, np.float32)[
+            T.transpose_edge_permutation(g)]
+    else:
+        w_rev = np.ones(rg.ne, np.float32)
+    sg = build_sharded_graph(rg, w_rev, P_)
     se = build_shard_ell(sg, with_trans=False)
+    wp = pack_shard_values(se, sg.edge_w) if weights is not None else None
     nv_pad = sg.nv_pad
     limit = max_iters if max_iters is not None else g.nv + 1
 
-    def local(se_s, send_idx, halo_map):
+    def local(se_s, wp_s, send_idx, halo_map):
         se_l = strip_shard(se_s)
+        wp_l = None if wp_s is None else strip_shard(wp_s)
         p = jax.lax.axis_index(axis)
         gid = p * nv_pad + jnp.arange(nv_pad, dtype=jnp.int32)
         x0 = init_fn(gid)
@@ -184,11 +198,15 @@ def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
 
         def body(s):
             x, _, it = s
-            halo = halo_exchange(x[:, None].astype(jnp.int32),
-                                 send_idx[0], halo_map[0], axis=axis)
+            halo = halo_exchange(x[:, None], send_idx[0], halo_map[0],
+                                 axis=axis)
             x_ext = jnp.concatenate([x, halo[:, 0]])
-            m = ell_gather_reduce(se_l.fwd, x_ext, nv_pad, "min",
-                                  se_l.sentinel)
+            if wp_l is None:
+                m = ell_gather_reduce(se_l.fwd, x_ext, nv_pad, "min",
+                                      se_l.sentinel)
+            else:
+                m = ell_gather_reduce_plus(se_l.fwd, wp_l.fwd, x_ext,
+                                           nv_pad, "min", se_l.sentinel)
             new = relax(x, m)
             changed = jax.lax.psum(
                 jnp.any(new != x).astype(jnp.int32), axis) > 0
@@ -199,14 +217,17 @@ def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
         return x, jax.lax.psum(it, axis) // P_
 
     se_spec = shard_specs(se, axis)
+    wp_spec = None if wp is None else shard_specs(wp, axis)
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(se_spec, P(axis, None, None), P(axis, None)),
+        in_specs=(se_spec, wp_spec, P(axis, None, None), P(axis, None)),
         out_specs=(P(axis), P()),
         check_vma=False,
     ))
     se_dev = jax.tree.map(jnp.asarray, se)
-    x, iters = fn(se_dev, jnp.asarray(sg.send_idx), jnp.asarray(sg.halo_map))
+    wp_dev = None if wp is None else jax.tree.map(jnp.asarray, wp)
+    x, iters = fn(se_dev, wp_dev, jnp.asarray(sg.send_idx),
+                  jnp.asarray(sg.halo_map))
     return np.asarray(x)[: g.nv], int(iters)
 
 
@@ -227,6 +248,29 @@ def distributed_bfs(mesh: Mesh, g: CSRGraph, source: int, *,
         return jnp.minimum(x, jnp.minimum(m, _DIST_INF - 1) + 1)
 
     return _dist_pull_fixpoint(mesh, g, init, relax, axis=axis)
+
+
+def distributed_sssp(mesh: Mesh, g: CSRGraph, weights: np.ndarray,
+                     source: int, *, axis: str = AXIS,
+                     max_iters: int | None = None):
+    """Single-source shortest paths with the graph vertex-sharded over
+    the mesh: Bellman-Ford as a tropical min-plus fixpoint
+    (dist[v] <- min(dist[v], min over in-edges (u->v) of
+    dist[u] + w(u,v))) on pre-packed per-slot weights, one halo
+    all_to_all per sweep — the multi-host twin of
+    analytics/traversal.py sssp_bellman_ford (gpu_bellmanford.cu
+    semantics). Returns (dist (nv,) float32 with unreachable == +inf,
+    sweeps)."""
+
+    def init(gid):
+        return jnp.where(gid == source, jnp.float32(0.0),
+                         jnp.float32(jnp.inf))
+
+    def relax(x, m):
+        return jnp.minimum(x, m)
+
+    return _dist_pull_fixpoint(mesh, g, init, relax, axis=axis,
+                               max_iters=max_iters, weights=weights)
 
 
 def distributed_cc(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS):

@@ -352,6 +352,34 @@ def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
     return out
 
 
+def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
+                           n_out: int, kind: str,
+                           sentinel: int) -> jnp.ndarray:
+    """out[r] = reduce over this shard's edges (r -> c) of
+    (x_ext[c] + w_slot) — the tropical (min-plus / max-plus) pull
+    reduction behind distributed SSSP relaxation. ``packed[i]`` aligns
+    with buckets[i] (pre-gathered static edge weights, ShardPackedW
+    layout), so no per-slot edge-id gather happens at runtime. Padding
+    slots reduce to the identity (+inf for min on floats)."""
+    if jnp.issubdtype(x_ext.dtype, jnp.floating):
+        ident = {"min": jnp.inf, "max": -jnp.inf}[kind]
+    else:
+        ii = jnp.iinfo(x_ext.dtype)
+        ident = {"min": ii.max, "max": ii.min}[kind]
+    ident = jnp.asarray(ident, x_ext.dtype)
+    out = jnp.full((n_out,), ident, x_ext.dtype)
+    for i, bk in enumerate(buckets):
+        b, sl = _unwrap(bk)
+        xs = x_ext if sl is None else x_ext[sl[0]:sl[1]]
+        vb = jnp.where(b.edge_id == sentinel, ident,
+                       xs[b.nbr] + packed[i].astype(x_ext.dtype))
+        if kind == "min":
+            out = out.at[b.row_ids].min(vb.min(axis=1))
+        else:
+            out = out.at[b.row_ids].max(vb.max(axis=1))
+    return out
+
+
 def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
                n_out: int) -> jnp.ndarray:
     """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``

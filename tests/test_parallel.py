@@ -237,6 +237,25 @@ def test_distributed_bfs_cc_match_serial(mesh):
         assert remap.setdefault(a, b) == b
 
 
+def test_distributed_sssp_matches_dijkstra(mesh):
+    """8-shard SSSP (min-plus pull fixpoint on packed per-slot weights)
+    vs the serial Dijkstra oracle (src/traversal/verifier.cc:42-85
+    analog), weighted directed graph with unreachable vertices."""
+    from graphaibench_tpu.analytics import verifiers
+    from graphaibench_tpu.parallel import distributed_sssp
+
+    g = T.sort_and_clean(rmat(9, 6, seed=17))
+    rng_w = np.random.default_rng(5)
+    w = rng_w.uniform(0.1, 4.0, g.ne).astype(np.float32)
+    dist, sweeps = distributed_sssp(mesh, g, w, 0)
+    ref = verifiers.dijkstra_serial(g, w, 0)
+    unreach = ~np.isfinite(ref) if ref.dtype.kind == "f" else ref < 0
+    assert np.all(np.isinf(dist[unreach]))
+    np.testing.assert_allclose(dist[~unreach], ref[~unreach],
+                               rtol=1e-5, atol=1e-5)
+    assert 1 < sweeps <= g.nv
+
+
 def test_locality_order_cuts_halo():
     """Community-ordered 1-D sharding must shrink the halo on a graph
     with planted structure (vs the shuffled original)."""
