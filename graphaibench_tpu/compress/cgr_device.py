@@ -158,25 +158,6 @@ def _counts(pairs, seg_start, active):
     return jnp.where(active, c, 0), seg_start + nb
 
 
-@functools.partial(jax.jit, static_argnames=("add_degree",))
-def _headers_itv(pairs, bit_off, add_degree: bool):
-    """Per-vertex header decode for interval streams -> (itv_nsegs,
-    itv_base). The residual-section header follows the (unpadded) last
-    interval segment, so its position comes out of the interval scan."""
-    p = bit_off
-    if add_degree:
-        d, nb = _read_gamma(pairs, p)
-        p = p + nb
-        ns, nb2 = _read_gamma(pairs, p)
-        nsegs = jnp.where(d == 0, 0, ns + 1)
-        base = p + nb2
-    else:
-        ns, nb2 = _read_gamma(pairs, p)
-        nsegs = ns + 1
-        base = p + nb2
-    return nsegs, base
-
-
 @functools.partial(jax.jit, static_argnames=("min_itv_len", "trip", "n_itv"),
                    donate_argnames=("left_all", "len_all"))
 def _interval_pass(quads, data_p, counts, lane_v, base, left_all, len_all,
@@ -385,6 +366,9 @@ def cgr_decode_device(cg) -> CSRGraph:
     # the merged last segment can hold up to ~2*seg_len/3 codes, so the
     # grid must reach past seg_len/3 — cap at 2*seg_len
     trips = [t for t in (8, 32, 128, 512, 2048, 8192) if t <= 2 * seg_len]
+    if not trips:
+        raise ValueError("device CGR decode: res_seg_len too small for "
+                         "the trip grid")
     lo = 0
     for trip in trips:
         hi = np.searchsorted(sorted_counts, trip, side="right")
@@ -441,7 +425,11 @@ def _decode_interval_sections(cg, pairs, quads, bit_off):
     position — plus the decoded intervals (vertex, left, len)."""
     cfg = cg.cfg
     nv = cg.nv
-    itv_nsegs_d, itv_base_d = _headers_itv(pairs, bit_off, cfg.add_degree)
+    # the interval-section header has the same (optional degree gamma,
+    # gamma(nsegs-1)) shape as the residual header, so _headers serves
+    # both; vertices with nsegs==0 never contribute lanes, so their
+    # base is never read
+    itv_nsegs_d, itv_base_d = _headers(pairs, bit_off, cfg.add_degree)
     itv_nsegs = np.asarray(itv_nsegs_d).astype(np.int64)
     itv_base = np.asarray(itv_base_d)
 
@@ -451,12 +439,14 @@ def _decode_interval_sections(cg, pairs, quads, bit_off):
                - istarts[ilane_v]).astype(np.int32)
     iseg_start = itv_base[ilane_v] + ilane_k * cfg.itv_seg_len
     Li = len(ilane_v)
-    if Li:
-        icnt_d, _ = _counts(pairs, jnp.asarray(iseg_start),
-                            jnp.ones(Li, bool))
-        icnt = np.asarray(icnt_d).astype(np.int64)
-    else:
-        icnt = np.zeros(0, np.int64)
+    if Li == 0:
+        # no vertex has any section (add_degree stream, all degrees 0)
+        return (np.zeros(nv, np.int64), np.zeros(nv, np.int64),
+                np.zeros(0, np.int32), jnp.zeros((0,), jnp.int32),
+                np.zeros(0, np.int64), 0)
+    icnt_d, _ = _counts(pairs, jnp.asarray(iseg_start),
+                        jnp.ones(Li, bool))
+    icnt = np.asarray(icnt_d).astype(np.int64)
     n_itv = int(icnt.sum())
 
     idata_p = (iseg_start + _gamma_len_np(icnt)).astype(np.int32)
@@ -470,6 +460,9 @@ def _decode_interval_sections(cg, pairs, quads, bit_off):
     sorted_icnt = icnt[order]
     itrips = [t for t in (2, 8, 32, 128, 512, 2048)
               if t <= 2 * cfg.itv_seg_len]
+    if not itrips:
+        raise ValueError("device CGR decode: itv_seg_len too small for "
+                         "the trip grid")
     lo = 0
     for trip in itrips:
         hi = np.searchsorted(sorted_icnt, trip, side="right")

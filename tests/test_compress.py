@@ -425,10 +425,28 @@ def test_cgr_device_decode_rejects_unsupported():
     from graphaibench_tpu.graph import transforms as T
     from graphaibench_tpu.graph.generators import uniform_random
 
+    import numpy as np
+
+    from graphaibench_tpu.graph.csr import CSRGraph
+
     g = T.sort_and_clean(uniform_random(50, 150, seed=0))
     cg = cgr.encode_graph(g, cgr.CgrConfig(res_seg_len=0))
     with _pytest.raises(ValueError):
         cgr_decode_device(cg)
+    # a seg_len below the trip grid must raise ValueError (not
+    # IndexError: the analytics fallback only catches ValueError)
+    cg2 = cgr.encode_graph(g, cgr.CgrConfig(res_seg_len=3))
+    with _pytest.raises(ValueError):
+        cgr_decode_device(cg2)
+
+    # empty graph, add_degree interval stream: no vertex has any
+    # section; must return the empty CSR, not crash on empty lanes
+    empty = CSRGraph(row_ptr=np.zeros(9, np.int64),
+                     col_idx=np.zeros(0, np.int32))
+    cg3 = cgr.encode_graph(empty, cgr.CgrConfig(use_interval=True,
+                                                add_degree=True))
+    got = cgr_decode_device(cg3)
+    assert got.ne == 0 and got.nv == 8
 
 
 def test_cgr_device_decode_small_segments():
@@ -447,6 +465,7 @@ def test_cgr_device_decode_small_segments():
     from graphaibench_tpu.graph.generators import uniform_random
 
     g = T.sort_and_clean(uniform_random(60, 180, seed=3))
+    decoded = 0
     for kw in (dict(res_seg_len=32), dict(res_seg_len=64),
                dict(use_interval=True, itv_seg_len=32)):
         cg = cgr.encode_graph(g, cgr.CgrConfig(**kw))
@@ -456,6 +475,10 @@ def test_cgr_device_decode_small_segments():
             continue    # oversized segment -> loud host fallback: fine
         np.testing.assert_array_equal(got.col_idx, g.col_idx,
                                       err_msg=str(kw))
+        decoded += 1
+    # small-id graph: no code outgrows its slot, so ALL must decode on
+    # device (the except branch is for future-graph safety, not a skip)
+    assert decoded == 3
 
     # force an oversized CLOSED residual segment: vertex 0's residuals
     # each need a ~40-bit gamma (> the 32-bit slot), so each forms its
