@@ -5,6 +5,8 @@ from graphaibench_tpu.parallel.dist_analytics import (  # noqa: F401
     distributed_bfs,
     distributed_cc,
     distributed_sssp,
+    distributed_kcore,
+    distributed_bc,
     distributed_pagerank,
     distributed_triangle_count,
 )

@@ -285,3 +285,159 @@ def distributed_cc(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS):
         return jnp.minimum(x, m)
 
     return _dist_pull_fixpoint(mesh, g, init, relax, axis=axis)
+
+
+def _build_dist_pull(mesh, g: CSRGraph, axis: str):
+    """Common sharded-pull scaffolding: per-shard ELL over the reverse
+    graph plus a halo sum-pull closure factory used by the k-core and
+    BC solvers (psum'd control flags ride the while_loop carries — a
+    collective inside a loop *cond* is not allowed under shard_map)."""
+    from graphaibench_tpu.parallel.halo import halo_exchange
+    from graphaibench_tpu.parallel.partition import build_sharded_graph
+    from graphaibench_tpu.parallel.shard_ell import (
+        build_shard_ell,
+        ell_gather_reduce,
+        shard_specs,
+        strip_shard,
+    )
+
+    rg = T.reverse(g)
+    sg = build_sharded_graph(rg, np.ones(rg.ne, np.float32),
+                             mesh.devices.size)
+    se = build_shard_ell(sg, with_trans=False)
+
+    def make_sum_pull(se_l, send_idx, halo_map):
+        def sum_pull(col):
+            halo = halo_exchange(col[:, None], send_idx[0], halo_map[0],
+                                 axis=axis)
+            ext = jnp.concatenate([col, halo[:, 0]])
+            return ell_gather_reduce(se_l.fwd, ext, sg.nv_pad, "sum",
+                                     se_l.sentinel)
+        return sum_pull
+
+    return sg, se, make_sum_pull, shard_specs, strip_shard
+
+
+def distributed_kcore(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS):
+    """Coreness of every vertex with the graph sharded over the mesh:
+    the bulk-peeling nested fixpoint (analytics/kcore.py,
+    src/coreness/omp_base.cc:11-60) with live degrees recomputed by one
+    halo sum-pull per peel sweep. Expects a symmetric graph. Returns
+    (coreness (nv,) int32, peel levels)."""
+    sg, se, make_sum_pull, shard_specs, strip_shard = _build_dist_pull(
+        mesh, g, axis)
+    nv, nv_pad = g.nv, sg.nv_pad
+    P_ = mesh.devices.size
+
+    def local(se_s, send_idx, halo_map):
+        se_l = strip_shard(se_s)
+        sum_pull = make_sum_pull(se_l, send_idx, halo_map)
+        p = jax.lax.axis_index(axis)
+        own_valid = (p * nv_pad
+                     + jnp.arange(nv_pad, dtype=jnp.int32)) < nv
+
+        def live_deg(alive):
+            return jnp.where(alive, sum_pull(alive.astype(jnp.int32)), 0)
+
+        alive0 = own_valid
+        deg0 = live_deg(alive0)
+        more0 = jax.lax.psum(jnp.any(alive0).astype(jnp.int32), axis) > 0
+
+        def outer_body(s):
+            core, alive, deg, k, _ = s
+
+            def inner_body(t):
+                core, alive, deg, _ = t
+                peel = alive & (deg <= k)
+                core = jnp.where(peel, k, core)
+                alive = alive & ~peel
+                deg = live_deg(alive)
+                changed = jax.lax.psum(
+                    jnp.any(peel).astype(jnp.int32), axis) > 0
+                return core, alive, deg, changed
+
+            core, alive, deg, _ = jax.lax.while_loop(
+                lambda t: t[3], inner_body,
+                (core, alive, deg, jnp.bool_(True)))
+            more = jax.lax.psum(jnp.any(alive).astype(jnp.int32), axis) > 0
+            return core, alive, deg, k + 1, more
+
+        core, _, _, k, _ = jax.lax.while_loop(
+            lambda s: s[4], outer_body,
+            (jnp.zeros(nv_pad, jnp.int32), alive0, deg0, jnp.int32(0),
+             more0))
+        return core, jax.lax.psum(k, axis) // P_
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shard_specs(se, axis), P(axis, None, None),
+                  P(axis, None)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    ))
+    core, k = fn(jax.tree.map(jnp.asarray, se), jnp.asarray(sg.send_idx),
+                 jnp.asarray(sg.halo_map))
+    return np.asarray(core)[:nv], int(k)
+
+
+def distributed_bc(mesh: Mesh, g: CSRGraph, sources, *, axis: str = AXIS):
+    """Betweenness centrality (Brandes) with the graph sharded over the
+    mesh: level-synchronous forward sigma propagation and backward
+    dependency accumulation, each sweep one halo sum-pull — the
+    multi-host twin of analytics/bc.py (src/centrality/omp_base.cc:8-110
+    semantics, symmetric graphs). Returns accumulated BC (nv,) float32
+    over the given sources."""
+    sg, se, make_sum_pull, shard_specs, strip_shard = _build_dist_pull(
+        mesh, g, axis)
+    nv, nv_pad = g.nv, sg.nv_pad
+
+    def local(se_s, send_idx, halo_map, source):
+        se_l = strip_shard(se_s)
+        sum_pull = make_sum_pull(se_l, send_idx, halo_map)
+        p = jax.lax.axis_index(axis)
+        gid = p * nv_pad + jnp.arange(nv_pad, dtype=jnp.int32)
+
+        # forward: depths + shortest-path counts
+        def f_body(s):
+            dist, sigma, front, lvl, _ = s
+            reach = sum_pull(jnp.where(front, sigma, 0.0))
+            new = (reach > 0) & (dist < 0)
+            sigma = jnp.where(new, reach, sigma)
+            dist = jnp.where(new, lvl + 1, dist)
+            go = jax.lax.psum(jnp.any(new).astype(jnp.int32), axis) > 0
+            return dist, sigma, new, lvl + 1, go
+
+        dist0 = jnp.where(gid == source, 0, -1).astype(jnp.int32)
+        sigma0 = jnp.where(gid == source, 1.0, 0.0)
+        dist, sigma, _, max_lvl, _ = jax.lax.while_loop(
+            lambda s: s[4], f_body,
+            (dist0, sigma0, gid == source, jnp.int32(0), jnp.bool_(True)))
+
+        # backward: delta accumulation level by level (max_lvl is equal
+        # on every shard — the forward loop's trip count is collective)
+        def b_body(s):
+            delta, lvl = s
+            val = jnp.where((dist == lvl) & (sigma > 0),
+                            (1.0 + delta)
+                            / jnp.where(sigma > 0, sigma, 1.0), 0.0)
+            acc = sum_pull(val)
+            add = jnp.where(dist == lvl - 1, sigma * acc, 0.0)
+            return delta + add, lvl - 1
+
+        delta, _ = jax.lax.while_loop(
+            lambda s: s[1] > 0, b_body, (jnp.zeros(nv_pad), max_lvl))
+        return jnp.where(gid == source, 0.0, delta)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shard_specs(se, axis), P(axis, None, None),
+                  P(axis, None), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+    se_dev = jax.tree.map(jnp.asarray, se)
+    si, hm = jnp.asarray(sg.send_idx), jnp.asarray(sg.halo_map)
+    bc = np.zeros(nv, np.float32)
+    for s in sources:
+        bc += np.asarray(fn(se_dev, si, hm, jnp.int32(s)))[:nv]
+    return bc

@@ -237,6 +237,23 @@ def test_distributed_bfs_cc_match_serial(mesh):
         assert remap.setdefault(a, b) == b
 
 
+def test_distributed_kcore_bc_match_serial(mesh):
+    """8-shard k-core (bulk peeling on halo sum-pulls) and BC (Brandes
+    level-synchronous fwd/bwd) vs the serial oracles, symmetric graph."""
+    from graphaibench_tpu.analytics import verifiers
+    from graphaibench_tpu.parallel import distributed_bc, distributed_kcore
+
+    g = T.sort_and_clean(T.symmetrize(rmat(8, 6, seed=23)))
+    core, levels = distributed_kcore(mesh, g)
+    np.testing.assert_array_equal(core, verifiers.kcore_serial(g))
+    assert levels >= 1
+
+    srcs = [0, 7, 19]
+    bc = distributed_bc(mesh, g, srcs)
+    ref = verifiers.bc_serial(g, srcs)
+    np.testing.assert_allclose(bc, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_distributed_sssp_matches_dijkstra(mesh):
     """8-shard SSSP (min-plus pull fixpoint on packed per-slot weights)
     vs the serial Dijkstra oracle (src/traversal/verifier.cc:42-85
