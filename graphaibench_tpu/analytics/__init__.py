@@ -28,6 +28,91 @@ from graphaibench_tpu.analytics.tc import triangle_count  # noqa: F401
 from graphaibench_tpu.analytics.traversal import bfs, sssp_bellman_ford  # noqa: F401
 
 
+def _run_distributed(kernel: str, g, args: list[str], shards: str) -> int:
+    """GAB_SHARDS routing for the analytics CLI: run the mesh-sharded
+    solver (parallel/dist_analytics.py) on the first N devices — the
+    CLI twin of the reference's *_dist_cpu / *_multigpu binaries. The
+    same serial verifiers gate the result."""
+    import jax
+    from jax.sharding import Mesh
+
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.parallel import (
+        distributed_bc,
+        distributed_bfs,
+        distributed_cc,
+        distributed_kcore,
+        distributed_pagerank,
+        distributed_sssp,
+        distributed_triangle_count,
+    )
+
+    devs = jax.devices()
+    n = len(devs) if shards == "auto" else max(1, int(shards))
+    n = min(n, len(devs))
+    mesh = Mesh(np.asarray(devs[:n]), ("graph",))
+    print(f"distributed over {n} device(s)")
+    source = int(args[0]) if args else 0
+    t0 = time.perf_counter()
+    ok = None
+
+    if kernel == "tc":
+        cnt = distributed_triangle_count(mesh, g)
+        dt = time.perf_counter() - t0
+        print(f"total_num_triangles = {cnt}")
+        if g.ne <= 200_000:
+            ok = cnt == verifiers.triangle_count_serial(T.orientation(g))
+    elif kernel == "bfs":
+        depth, sweeps = distributed_bfs(mesh, g, source)
+        dt = time.perf_counter() - t0
+        reach = depth < 2**30
+        print(f"reached = {reach.sum()}, sweeps = {sweeps}")
+        ref = verifiers.bfs_serial(g, source)
+        unreach = ref < 0 if ref.min() < 0 else ref >= 2**30
+        ok = (np.array_equal(depth[~unreach], ref[~unreach])
+              and bool(np.all(~reach[unreach])))
+    elif kernel == "sssp":
+        w = (np.asarray(g.elabels, dtype=np.float32)
+             if g.elabels is not None else np.ones(g.ne, np.float32))
+        dist, sweeps = distributed_sssp(mesh, g, w, source)
+        dt = time.perf_counter() - t0
+        print(f"reached = {np.isfinite(dist).sum()}, sweeps = {sweeps}")
+        ref = verifiers.dijkstra_serial(g, w, source)
+        fin = np.isfinite(ref)
+        ok = (np.allclose(dist[fin], ref[fin], rtol=1e-5)
+              and bool(np.all(~np.isfinite(dist[~fin]))))
+    elif kernel == "pr":
+        scores, iters = distributed_pagerank(mesh, g)
+        dt = time.perf_counter() - t0
+        print(f"iterations = {iters}")
+        ref = verifiers.pagerank_serial(g, T.reverse(g))
+        ok = np.allclose(scores, ref, atol=1e-4)
+    elif kernel == "cc":
+        labels, _ = distributed_cc(mesh, g)
+        dt = time.perf_counter() - t0
+        print(f"num_components = {len(np.unique(labels))}")
+        ref = verifiers.cc_serial(g)
+        remap = {}
+        ok = all(remap.setdefault(a, b) == b
+                 for a, b in zip(labels, ref))
+    elif kernel == "bc":
+        scores = distributed_bc(mesh, g, [source])
+        dt = time.perf_counter() - t0
+        ok = np.allclose(scores, verifiers.bc_serial(g, [source]),
+                         rtol=1e-4, atol=1e-5)
+    else:  # kcore
+        core, levels = distributed_kcore(mesh, g)
+        dt = time.perf_counter() - t0
+        print(f"max_coreness = {core.max()}")
+        ok = np.array_equal(core, verifiers.kcore_serial(g))
+
+    print(f"runtime = {dt:.4f} sec")
+    if ok is not None:
+        print("Correct" if ok else "Wrong")
+        return 0 if ok else 1
+    return 0
+
+
 def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
     """CLI driver: load, solve, verify, print Correct/Wrong + runtime."""
     import jax.numpy as jnp
@@ -84,6 +169,12 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         g = load_graph(dataset_path, with_elabels=(kernel == "cf"),
                        with_vlabels=(kernel == "fsm"))
     print(f"|V| {g.nv} |E| {g.ne}")
+    shards = os.environ.get("GAB_SHARDS", "")
+    if shards and kernel in ("tc", "bfs", "sssp", "pr", "cc", "bc",
+                             "kcore"):
+        # the reference ships separate distributed binaries (tc_dist_cpu,
+        # tc_multigpu_*); here the same CLI routes onto the mesh solvers
+        return _run_distributed(kernel, g, args, shards)
     if kernel in ("bfs", "sssp", "pr", "cc", "bc", "kcore"):
         # pull-mode frontier kernels (ELL neighbor_reduce over row
         # buckets) assume a structurally symmetric graph; on directed

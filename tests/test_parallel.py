@@ -254,6 +254,18 @@ def test_distributed_kcore_bc_match_serial(mesh):
     np.testing.assert_allclose(bc, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_analytics_cli_gab_shards_routing(monkeypatch):
+    """GAB_SHARDS routes the analytics CLI onto the mesh solvers (the
+    reference's *_dist_cpu / *_multigpu binaries as one CLI); the
+    verifier must print Correct (exit 0) for a sharded run."""
+    from graphaibench_tpu.analytics import run_benchmark
+
+    monkeypatch.setenv("GAB_SHARDS", "8")
+    for kernel in ("tc", "bfs", "kcore"):
+        assert run_benchmark(
+            kernel, "/root/reference/inputs/citeseer", []) == 0, kernel
+
+
 def test_distributed_sssp_matches_dijkstra(mesh):
     """8-shard SSSP (min-plus pull fixpoint on packed per-slot weights)
     vs the serial Dijkstra oracle (src/traversal/verifier.cc:42-85
