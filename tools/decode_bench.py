@@ -1,0 +1,105 @@
+"""Device decode throughput across every compressed scheme.
+
+Measures END-TO-END decode (host metadata syncs included — they are
+part of the pipeline) for: segmented CGR, interval CGR, StreamVByte,
+VarintGB, hybrid. Each timed run decodes a DIFFERENT stream (same rmat
+scale, one edge dropped per run) because identical repeated executions
+through the tunnel can be served from a cache (CLAUDE.md measurement
+discipline); median of 3.
+
+Prints one JSON object; queue via tools/tpu_round2_queue.sh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from graphaibench_tpu.compress import cgr, hybrid, vbyte
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+    from graphaibench_tpu.compress.device_decode import (
+        decode_graph_device,
+        decode_hybrid_device,
+    )
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.graph.generators import rmat
+
+    scale = int(os.environ.get("DECODE_BENCH_SCALE", "17"))
+    g0 = T.sort_and_clean(rmat(scale, 16, seed=0))
+
+    def variants(n):
+        """n slightly-different graphs (defeats tunnel result caching)."""
+        out = []
+        for k in range(n):
+            if k == 0:
+                out.append(g0)
+            else:
+                rp = np.asarray(g0.row_ptr).copy()
+                ci = np.asarray(g0.col_idx)
+                # drop the last edge of vertex k (keeps lists sorted)
+                v = k
+                while rp[v + 1] - rp[v] == 0:
+                    v += 1
+                e = rp[v + 1] - 1
+                ci2 = np.delete(ci, e)
+                rp2 = rp.copy()
+                rp2[v + 1:] -= 1
+                from graphaibench_tpu.graph.csr import CSRGraph
+
+                out.append(CSRGraph(row_ptr=rp2, col_idx=ci2))
+        return out
+
+    gs = variants(3)
+    results = {}
+
+    def timed(name, encode, decode):
+        streams = [encode(g) for g in gs]
+        # warm: compile shapes on stream 0
+        got = decode(streams[0])
+        assert got.ne == gs[0].ne
+        ts = []
+        for cgx, g in zip(streams, gs):
+            t0 = time.perf_counter()
+            out = decode(cgx)
+            _ = np.asarray(out.col_idx[:1])
+            dt = time.perf_counter() - t0
+            assert out.ne == g.ne
+            ts.append(dt)
+        dt = sorted(ts)[1]
+        results[name] = {"s": dt, "edges_per_s": g0.ne / dt}
+        print(f"  {name}: {dt*1e3:.1f} ms = {g0.ne/dt/1e6:.1f} M edges/s",
+              flush=True)
+
+    timed("cgr", lambda g: cgr.encode_graph(g, cgr.CgrConfig()),
+          cgr_decode_device)
+    timed("cgr_interval",
+          lambda g: cgr.encode_graph(
+              g, cgr.CgrConfig(use_interval=True, itv_seg_len=64)),
+          cgr_decode_device)
+    timed("streamvbyte", lambda g: vbyte.encode_graph(g, "streamvbyte"),
+          decode_graph_device)
+    timed("varintgb", lambda g: vbyte.encode_graph(g, "varintgb"),
+          decode_graph_device)
+    timed("hybrid", lambda g: hybrid.encode_graph(g, threshold=32),
+          decode_hybrid_device)
+
+    print(json.dumps({"metric": "device_decode_edges_per_s",
+                      "graph": f"rmat{scale} ne={g0.ne}",
+                      "schemes": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,4 +31,5 @@ run frontier_bench  python tools/frontier_bench.py
 run sharded_p1_17   python tools/sharded_p1_bench.py --scale 17
 run sharded_p1_20   python tools/sharded_p1_bench.py --scale 20 --ef 32 --epochs 3
 run saint_bench     python tools/saint_bench.py
+run decode_bench    python tools/decode_bench.py
 echo "queue done $(date)"
