@@ -91,10 +91,10 @@ def _run_distributed(kernel: str, g, args: list[str], shards: str) -> int:
         labels, _ = distributed_cc(mesh, g)
         dt = time.perf_counter() - t0
         print(f"num_components = {len(np.unique(labels))}")
-        ref = verifiers.cc_serial(g)
-        remap = {}
-        ok = all(remap.setdefault(a, b) == b
-                 for a, b in zip(labels, ref))
+        # both labelings are min-vertex-id per component on symmetric
+        # graphs, so exact equality is the right check (a remap-based
+        # equivalence would let component SPLITS pass)
+        ok = np.array_equal(labels, verifiers.cc_serial(g))
     elif kernel == "bc":
         scores = distributed_bc(mesh, g, [source])
         dt = time.perf_counter() - t0
@@ -173,8 +173,16 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
     if shards and kernel in ("tc", "bfs", "sssp", "pr", "cc", "bc",
                              "kcore"):
         # the reference ships separate distributed binaries (tc_dist_cpu,
-        # tc_multigpu_*); here the same CLI routes onto the mesh solvers
-        return _run_distributed(kernel, g, args, shards)
+        # tc_multigpu_*); here the same CLI routes onto the mesh solvers.
+        # cc/kcore/bc pull over in-edges and are only correct on
+        # symmetric graphs — directed inputs stay on the single-device
+        # push kernels (mirroring the pull_ok gate below)
+        from graphaibench_tpu.graph.transforms import is_symmetric
+
+        if kernel in ("tc", "bfs", "sssp", "pr") or is_symmetric(g):
+            return _run_distributed(kernel, g, args, shards)
+        print("directed input: distributed "
+              f"{kernel} needs a symmetric graph; running single-device")
     if kernel in ("bfs", "sssp", "pr", "cc", "bc", "kcore"):
         # pull-mode frontier kernels (ELL neighbor_reduce over row
         # buckets) assume a structurally symmetric graph; on directed

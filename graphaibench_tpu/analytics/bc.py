@@ -78,7 +78,11 @@ def bc_single_source(g: DeviceGraph, source: int) -> jnp.ndarray:
         add = jax.ops.segment_sum(w, src, num_segments=nv)
         return delta + add, lvl - 1
 
-    delta, _ = jax.lax.while_loop(b_cond, b_body, (jnp.zeros(nv), max_lvl))
+    # the forward loop overshoots by one empty level (its last iteration
+    # discovers nothing), so start at max_lvl - 1: the deepest level
+    # that actually has vertices — saves one full no-op sweep
+    delta, _ = jax.lax.while_loop(b_cond, b_body,
+                                  (jnp.zeros(nv), jnp.maximum(max_lvl - 1, 0)))
     return delta.at[source].set(0.0)
 
 

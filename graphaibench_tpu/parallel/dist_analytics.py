@@ -297,8 +297,6 @@ def _build_dist_pull(mesh, g: CSRGraph, axis: str):
     from graphaibench_tpu.parallel.shard_ell import (
         build_shard_ell,
         ell_gather_reduce,
-        shard_specs,
-        strip_shard,
     )
 
     rg = T.reverse(g)
@@ -315,7 +313,7 @@ def _build_dist_pull(mesh, g: CSRGraph, axis: str):
                                      se_l.sentinel)
         return sum_pull
 
-    return sg, se, make_sum_pull, shard_specs, strip_shard
+    return sg, se, make_sum_pull
 
 
 def distributed_kcore(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS):
@@ -324,8 +322,9 @@ def distributed_kcore(mesh: Mesh, g: CSRGraph, *, axis: str = AXIS):
     src/coreness/omp_base.cc:11-60) with live degrees recomputed by one
     halo sum-pull per peel sweep. Expects a symmetric graph. Returns
     (coreness (nv,) int32, peel levels)."""
-    sg, se, make_sum_pull, shard_specs, strip_shard = _build_dist_pull(
-        mesh, g, axis)
+    from graphaibench_tpu.parallel.shard_ell import shard_specs, strip_shard
+
+    sg, se, make_sum_pull = _build_dist_pull(mesh, g, axis)
     nv, nv_pad = g.nv, sg.nv_pad
     P_ = mesh.devices.size
 
@@ -387,8 +386,9 @@ def distributed_bc(mesh: Mesh, g: CSRGraph, sources, *, axis: str = AXIS):
     multi-host twin of analytics/bc.py (src/centrality/omp_base.cc:8-110
     semantics, symmetric graphs). Returns accumulated BC (nv,) float32
     over the given sources."""
-    sg, se, make_sum_pull, shard_specs, strip_shard = _build_dist_pull(
-        mesh, g, axis)
+    from graphaibench_tpu.parallel.shard_ell import shard_specs, strip_shard
+
+    sg, se, make_sum_pull = _build_dist_pull(mesh, g, axis)
     nv, nv_pad = g.nv, sg.nv_pad
 
     def local(se_s, send_idx, halo_map, source):
@@ -414,7 +414,9 @@ def distributed_bc(mesh: Mesh, g: CSRGraph, sources, *, axis: str = AXIS):
             (dist0, sigma0, gid == source, jnp.int32(0), jnp.bool_(True)))
 
         # backward: delta accumulation level by level (max_lvl is equal
-        # on every shard — the forward loop's trip count is collective)
+        # on every shard — the forward loop's trip count is collective;
+        # the forward loop overshoots by one empty level, so start at
+        # max_lvl - 1: the deepest level that actually has vertices)
         def b_body(s):
             delta, lvl = s
             val = jnp.where((dist == lvl) & (sigma > 0),
@@ -425,7 +427,8 @@ def distributed_bc(mesh: Mesh, g: CSRGraph, sources, *, axis: str = AXIS):
             return delta + add, lvl - 1
 
         delta, _ = jax.lax.while_loop(
-            lambda s: s[1] > 0, b_body, (jnp.zeros(nv_pad), max_lvl))
+            lambda s: s[1] > 0, b_body,
+            (jnp.zeros(nv_pad), jnp.maximum(max_lvl - 1, 0)))
         return jnp.where(gid == source, 0.0, delta)
 
     fn = jax.jit(jax.shard_map(
