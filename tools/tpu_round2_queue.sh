@@ -32,4 +32,5 @@ run sharded_p1_17   python tools/sharded_p1_bench.py --scale 17
 run sharded_p1_20   python tools/sharded_p1_bench.py --scale 20 --ef 32 --epochs 3
 run saint_bench     python tools/saint_bench.py
 run decode_bench    python tools/decode_bench.py
+run products_bench  python tools/products_bench.py
 echo "queue done $(date)"
