@@ -19,7 +19,7 @@ mkdir -p "$OUT"
 run() {
   name=$1; shift
   echo "=== $name: $* ($(date +%H:%M:%S))"
-  timeout 1500 "$@" >"$OUT/$name.json" 2>"$OUT/$name.err"
+  timeout "${RUN_TIMEOUT:-1500}" "$@" >"$OUT/$name.json" 2>"$OUT/$name.err"
   echo "    exit=$? ($(date +%H:%M:%S))"
   tail -c 600 "$OUT/$name.json"
   echo
@@ -32,5 +32,5 @@ run sharded_p1_17   python tools/sharded_p1_bench.py --scale 17
 run sharded_p1_20   python tools/sharded_p1_bench.py --scale 20 --ef 32 --epochs 3
 run saint_bench     python tools/saint_bench.py
 run decode_bench    python tools/decode_bench.py
-run products_bench  python tools/products_bench.py
+RUN_TIMEOUT=3000 run products_bench  python tools/products_bench.py
 echo "queue done $(date)"
