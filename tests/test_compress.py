@@ -305,9 +305,21 @@ def test_codec_fuzz_roundtrip(seed, tmp_path):
     assert np.array_equal(g3.row_ptr, g.row_ptr)
 
     cfg = cgr.CgrConfig(zeta_k=int(rng.integers(1, 5)),
-                        use_interval=bool(rng.integers(0, 2)))
+                        use_interval=bool(rng.integers(0, 2)),
+                        itv_seg_len=int(rng.choice([32, 64, 128])),
+                        min_itv_len=int(rng.integers(2, 6)),
+                        res_seg_len=int(rng.choice([64, 128, 256])))
     cg = cgr.encode_graph(g, cfg)
     assert np.array_equal(cgr.decode_graph(cg).col_idx, g.col_idx)
+    from graphaibench_tpu.compress.cgr_device import cgr_decode_device
+
+    try:
+        g4 = cgr_decode_device(cg)
+    except ValueError:
+        g4 = None      # oversized-segment fallback: host path covers it
+    if g4 is not None:
+        assert np.array_equal(g4.col_idx, g.col_idx)
+        assert np.array_equal(g4.row_ptr, g.row_ptr)
 
     hg = hybrid.encode_graph(g, threshold=int(rng.integers(2, 40)))
     assert np.array_equal(hybrid.decode_graph(hg).col_idx, g.col_idx)
