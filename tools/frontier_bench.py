@@ -38,6 +38,11 @@ def timed(fn, n=3):
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        # the axon plugin ignores the env var; pin explicitly (CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=19)
     ap.add_argument("--ef", type=int, default=30)

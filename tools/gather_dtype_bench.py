@@ -58,6 +58,11 @@ def bench_gather(table, idx, iters=8):
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        # the axon plugin ignores the env var; pin explicitly (CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=20, help="log2 table rows")
     ap.add_argument("--gathers", type=int, default=22,

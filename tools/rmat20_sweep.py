@@ -40,6 +40,11 @@ def bench_chained(spmm_fn, x0, iters=6):
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        # the axon plugin ignores the env var; pin explicitly (CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=20)
     ap.add_argument("--ef", type=int, default=32)

@@ -46,6 +46,11 @@ def bench_chained(fn, x0, iters=5):
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        # the axon plugin ignores the env var; pin explicitly (CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax
     import jax.numpy as jnp
 

@@ -19,6 +19,7 @@ Cases (all chained protocol, arrays as jit args):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -39,6 +40,11 @@ def bench(run, args, n, iters):
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        # the axon plugin ignores the env var; pin explicitly (CLAUDE.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax
     import jax.numpy as jnp
 
