@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphaibench_tpu.graph.csr import CSRGraph
-from graphaibench_tpu.ops.device_graph import DeviceGraph, to_device_graph
+from graphaibench_tpu.ops.device_graph import to_device_graph
 
 
 def boruvka_mst(g: CSRGraph, weights: np.ndarray):

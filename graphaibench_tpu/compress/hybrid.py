@@ -13,7 +13,6 @@ import numpy as np
 
 from graphaibench_tpu.compress import cgr as cgr_mod
 from graphaibench_tpu.compress import vbyte as vbyte_mod
-from graphaibench_tpu.compress.unary import BitWriter
 from graphaibench_tpu.graph.csr import CSRGraph, from_edges
 
 DEFAULT_DEGREE_THRESHOLD = 32

@@ -14,7 +14,7 @@ directly comparable with the C++ binaries.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
