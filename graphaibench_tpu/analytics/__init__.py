@@ -215,7 +215,10 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         source = int(args[0]) if args else 0
         w = (np.asarray(g.elabels, dtype=np.float32)
              if g.elabels is not None else np.ones(g.ne, np.float32))
-        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
+        # pull-mode SSSP gathers each slot's REVERSE-edge weight through
+        # trans_perm (traversal.py), so the transpose permutation must
+        # ride along whenever the ELL pull path is eligible
+        dg = to_device_graph(g, with_transpose=pull_ok, with_ell=pull_ok)
         dist = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), source))
         dt = time.perf_counter() - t0
         ref = verifiers.dijkstra_serial(g, w, source)

@@ -102,14 +102,21 @@ def sssp_bellman_ford(
         _dist, changed, it = state
         return changed & (it < max_iter)
 
-    pull = _has_buckets(g)
+    # Pull-mode relaxes dist[r] via row-r ELL slots, whose edge ids are
+    # the OUTGOING edges (r->j); the correct relaxation weight is the
+    # reverse edge's, w(j->r). On a structurally symmetric graph
+    # trans_perm[k] is exactly the edge id of edge k's reversal, so
+    # gathering weights through it feeds each slot the incoming weight
+    # (identical to `weights` when weights are symmetric). Without the
+    # transpose permutation pull would silently mis-relax asymmetric
+    # weights, so fall back to the always-correct push scatter.
+    pull = _has_buckets(g) and g.trans_perm is not None
+    w_pull = weights[g.trans_perm] if pull else None
 
     def body(state):
         dist, _, it = state
         if pull:
-            # pull-mode relaxation: dist[j] + w(i,j) reduced over dense
-            # degree buckets (symmetric weighted graph)
-            cand = neighbor_reduce(g, dist, "min", edge_vals=weights)
+            cand = neighbor_reduce(g, dist, "min", edge_vals=w_pull)
         else:
             cand = jnp.full(nv, inf).at[dst].min(dist[src] + weights)
         new = jnp.minimum(dist, cand)
@@ -152,14 +159,19 @@ def _sssp_delta_jit(
     inf = jnp.float32(jnp.inf)
     delta = jnp.float32(delta)
     light = weights <= delta
-    pull = _has_buckets(g)
+    # pull slots carry OUTGOING edge ids; relaxation needs the reverse
+    # edge's weight/mask — gather both through trans_perm (see
+    # sssp_bellman_ford), else fall back to push
+    pull = _has_buckets(g) and g.trans_perm is not None
+    w_pull = weights[g.trans_perm] if pull else None
+    light_pull = light[g.trans_perm] if pull else None
 
-    def relax(dist, active, mask):
+    def relax(dist, active, mask, mask_pull):
         """One relaxation of edges with src active (+ static edge mask)."""
         if pull:
             cand = neighbor_reduce(
                 g, jnp.where(active, dist, inf), "min",
-                edge_vals=jnp.where(mask, weights, inf))
+                edge_vals=jnp.where(mask_pull, w_pull, inf))
         else:
             contrib = jnp.where(active[src] & mask, dist[src] + weights, inf)
             cand = jnp.full(nv, inf).at[dst].min(contrib)
@@ -182,13 +194,14 @@ def _sssp_delta_jit(
         def inner_body(s):
             d, _ = s
             act = (d >= k * delta) & (d < (k + 1) * delta)
-            nd = relax(d, act, light)
+            nd = relax(d, act, light, light_pull)
             return nd, jnp.any(nd < d)
 
         dist, _ = jax.lax.while_loop(inner_cond, inner_body, (dist, jnp.bool_(True)))
         # heavy edges once
         act = (dist >= k * delta) & (dist < (k + 1) * delta)
-        dist = relax(dist, act, ~light)
+        dist = relax(dist, act, ~light,
+                     None if light_pull is None else ~light_pull)
         # advance to the next non-empty bucket
         remaining = jnp.where(dist >= (k + 1) * delta, dist, jnp.inf)
         nk = jnp.where(jnp.isfinite(remaining).any(),
@@ -202,8 +215,13 @@ def _sssp_delta_jit(
 
 
 def bfs_host(g_host, source: int) -> np.ndarray:
-    """Convenience: device BFS from a host CSRGraph."""
+    """Convenience: device BFS from a host CSRGraph. Pull-mode (ELL) only
+    when the graph is structurally symmetric — on a directed graph row
+    buckets hold out-neighbors, so pulling over them computes the wrong
+    reachability; those inputs take the push/scatter path."""
+    from graphaibench_tpu.graph.transforms import is_symmetric
     from graphaibench_tpu.ops.device_graph import to_device_graph
 
-    dg = to_device_graph(g_host, with_transpose=False, with_ell=True)
+    pull_ok = is_symmetric(g_host)
+    dg = to_device_graph(g_host, with_transpose=False, with_ell=pull_ok)
     return np.asarray(bfs(dg, source))

@@ -28,7 +28,9 @@ from graphaibench_tpu.ops.segment import neighbor_reduce
 @pytest.fixture(scope="module", params=["ell", "seg"])
 def graphs(request):
     g = T.sort_and_clean(T.symmetrize(rmat(8, 6, seed=11)))
-    dg = to_device_graph(g, with_transpose=False, with_ell=True)
+    # transpose perm rides along: pull-mode SSSP needs it to gather each
+    # slot's reverse-edge weight (without it SSSP falls back to push)
+    dg = to_device_graph(g, with_transpose=True, with_ell=True)
     if request.param == "seg":
         dg = dataclasses.replace(dg, ell=(),
                                  seg_ell=build_seg_ell(g, seg_rows=64))
@@ -65,6 +67,21 @@ def test_sssp_pull(graphs):
     src, dst = g.coo()
     key = np.minimum(src, dst) * g.nv + np.maximum(src, dst)
     w = (rng.random(g.nv * g.nv)[key] + 0.1).astype(np.float32)
+    ref = verifiers.dijkstra_serial(g, w, 0)
+    got_bf = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), 0))
+    np.testing.assert_allclose(got_bf, ref, rtol=1e-5)
+    got_ds = np.asarray(sssp_delta_stepping(dg, jnp.asarray(w), 0))
+    np.testing.assert_allclose(got_ds, ref, rtol=1e-5)
+
+
+def test_sssp_pull_asymmetric_weights(graphs):
+    """Symmetric STRUCTURE, asymmetric WEIGHTS: w(u->v) != w(v->u).
+    Pull-mode relaxation must use the reverse edge's weight (gathered
+    through trans_perm) — using the slot's own outgoing weight silently
+    computed wrong distances before round 3 (ADVICE r2, medium)."""
+    g, dg = graphs
+    rng = np.random.default_rng(7)
+    w = (rng.random(g.ne) + 0.1).astype(np.float32)   # per-edge, direction-dependent
     ref = verifiers.dijkstra_serial(g, w, 0)
     got_bf = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), 0))
     np.testing.assert_allclose(got_bf, ref, rtol=1e-5)
