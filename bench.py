@@ -1,9 +1,20 @@
 """Headline benchmark: SpMM edges/s/chip (the BASELINE.json north-star
-kernel metric) on a power-law RMAT graph, plus full GCN epoch time.
+kernel metric) on a power-law RMAT graph, plus full GCN/GAT epoch times
+at rmat17 and rmat20.
 
 Prints ONE JSON line:
   {"metric": "spmm_edges_per_s", "value": ..., "unit": "edges/s",
    "vs_baseline": <fraction of the measured pure-gather roofline>}
+
+Failure hardening (round-2 postmortem: BENCH_r02.json was an rc=1
+tunnel-outage record and the already-computed rmat17 numbers were lost):
+  - backend init is retried with backoff before giving up;
+  - every section runs under _section(), which stashes its numbers as
+    they are produced and converts an exception into an `errors` entry;
+  - the final JSON line is emitted from whatever was captured, with
+    missing fields null — mirroring how the reference prints results
+    incrementally as each stage completes (train.cpp:39-76).
+A totally dead backend still prints a parsable line with value=null.
 
 Methodology: every timing runs K iterations INSIDE one jit via
 lax.fori_loop — dispatch through the device tunnel costs ~10ms, so
@@ -16,10 +27,67 @@ absolute GNN numbers (src/gnn/README.md "TBD")."""
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+EXTRA: dict = {}
+ERRORS: dict = {}
+
+# test hooks (tests/test_bench_harness.py): force a section to throw /
+# shrink graph sizes so the hardening itself is testable on CPU
+_FAULTS = set(filter(None, os.environ.get("GAB_BENCH_FAULT", "").split(",")))
+
+
+def _maybe_fault(name: str):
+    if name in _FAULTS:
+        raise RuntimeError(f"injected fault ({name})")
+
+
+@contextlib.contextmanager
+def _section(name: str):
+    """Run one bench section; on failure record the error and move on so
+    the sections already measured still reach the final JSON line.
+    Yields a fault-check callable the body invokes first (test hook)."""
+    t0 = time.perf_counter()
+    try:
+        yield lambda: _maybe_fault(name)
+        print(f"[bench] {name} ok ({time.perf_counter() - t0:.1f}s)",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - any failure must not kill the record
+        ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
+        print(f"[bench] {name} FAILED: {ERRORS[name]}", file=sys.stderr)
+
+
+def _init_backend(retries: int | None = None, backoff_s: float | None = None):
+    """Initialize the jax backend, retrying transient tunnel outages."""
+    import jax
+
+    retries = retries or int(os.environ.get("GAB_BENCH_RETRIES", "3"))
+    if backoff_s is None:
+        backoff_s = float(os.environ.get("GAB_BENCH_BACKOFF_S", "60"))
+    # the installed axon plugin force-appends itself and ignores the
+    # JAX_PLATFORMS env var (CLAUDE.md); tests pin the platform here
+    plat = os.environ.get("GAB_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    for attempt in range(retries):
+        try:
+            devs = jax.devices()
+            print(f"[bench] backend up: {devs[0].platform} x{len(devs)}",
+                  file=sys.stderr)
+            return True
+        except Exception as e:  # noqa: BLE001
+            ERRORS["backend_init"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[bench] backend init attempt {attempt + 1}/{retries} "
+                  f"failed: {ERRORS['backend_init']}", file=sys.stderr)
+            if attempt + 1 < retries:
+                time.sleep(backoff_s)
+    return False
 
 
 def _bench_looped(f, init, iters):
@@ -43,125 +111,144 @@ def _bench_looped(f, init, iters):
     return sorted(times)[1]
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from graphaibench_tpu.graph.generators import rmat
-    from graphaibench_tpu.graph.io import GnnDataset
-    from graphaibench_tpu.nn.layers import ModelConfig
-    from graphaibench_tpu.nn.model import GraphBundle, Model
-    from graphaibench_tpu.ops.spmm import spmm_ell
-
-    scale, ef, feat = 17, 16, 128
-    g = rmat(scale, ef, seed=0)
-    gb = GraphBundle.build(g, "gcn")
-    nv, ne = gb.host.nv, gb.host.ne
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((nv, feat)).astype(np.float32))
-
-    # SpMM throughput (best strategy for this size: ELL; packed static
-    # weights = the production training path, see GraphBundle.edge_w_agg)
-    dt = _bench_looped(lambda i, v: spmm_ell(gb.device, gb.edge_w_agg, v), x, 20)
-    edges_per_s = ne / dt
-    slots = sum(b.nbr.size for b in gb.device.ell)
-
-    # roofline: pure weighted row-gather of the same number of padded rows
-    # (iteration-dependent indices defeat constant-folding rewrites)
-    idx = jnp.asarray(rng.integers(0, nv, slots).astype(np.int32))
-    wg = jnp.asarray(rng.standard_normal(slots).astype(np.float32))
-
-    def gather_only(i, acc):
-        shifted = (idx + i) % nv
-        return acc + (x[shifted] * wg[:, None]).sum(0)
-
-    dt_g = _bench_looped(gather_only, jnp.zeros(feat), 10)
-    gather_rows_per_s = slots / dt_g
-    sol_edges_per_s = gather_rows_per_s * ne / slots
-
-    # full GCN epoch (fw+bw+adam) on the same graph
-    labels = rng.integers(0, 16, nv).astype(np.int32)
-    mask = np.ones(nv, dtype=np.uint8)
-    tr = (0, nv, nv)
-    ds = GnnDataset(graph=g, feats=np.asarray(x), labels=labels,
-                    train_mask=mask, val_mask=mask, test_mask=mask,
-                    num_classes=16, train_range=tr, val_range=tr, test_range=tr)
-    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=feat, dim_hid=128,
-                      num_cls=16, lr=0.01)
-    model = Model(cfg, ds)
-    epochs = 10
+def _timed_epochs(model, epochs):
     model.train_epochs(epochs)  # compile
     t0 = time.perf_counter()
     model.train_epochs(epochs)
-    epoch_s = (time.perf_counter() - t0) / epochs
+    return (time.perf_counter() - t0) / epochs
 
-    # GAT epoch on the same graph (v2 slot-space fused attention)
-    cfg_gat = ModelConfig(arch="gat", num_layers=2, dim_init=feat,
-                          dim_hid=128, num_cls=16, lr=0.01)
-    model_gat = Model(cfg_gat, ds)
-    model_gat.train_epochs(epochs)  # compile
-    t0 = time.perf_counter()
-    model_gat.train_epochs(epochs)
-    gat_epoch_s = (time.perf_counter() - t0) / epochs
 
-    # --- scale regime: rmat20 (1M v / 32M e), where the gather-locality
-    # cliff lives (CLAUDE.md scale findings). SpMM + GCN epoch + GAT
-    # epoch so at-scale regressions show up in BENCH_r*.json each round.
-    del model, model_gat, ds
-    import gc
+def main():
+    headline = {"edges_per_s": None, "sol_edges_per_s": None}
 
-    gc.collect()
-    g20 = rmat(20, 32, seed=0)
-    gb20 = GraphBundle.build(g20, "gcn")
-    x20 = jnp.asarray(rng.standard_normal((g20.nv, feat)).astype(np.float32))
-    dt20 = _bench_looped(
-        lambda i, v: spmm_ell(gb20.device, gb20.edge_w_agg, v), x20, 5)
-    labels20 = rng.integers(0, 16, g20.nv).astype(np.int32)
-    mask20 = np.ones(g20.nv, dtype=np.uint8)
-    tr20 = (0, g20.nv, g20.nv)
-    ds20 = GnnDataset(graph=g20, feats=np.asarray(x20), labels=labels20,
-                      train_mask=mask20, val_mask=mask20, test_mask=mask20,
-                      num_classes=16, train_range=tr20, val_range=tr20,
-                      test_range=tr20)
-    del gb20, x20
-    gc.collect()
-    scale_epochs = 3
-    m20 = Model(ModelConfig(arch="gcn", num_layers=2, dim_init=feat,
-                            dim_hid=128, num_cls=16, lr=0.01), ds20)
-    m20.train_epochs(scale_epochs)
-    t0 = time.perf_counter()
-    m20.train_epochs(scale_epochs)
-    gcn20_epoch_s = (time.perf_counter() - t0) / scale_epochs
-    del m20
-    gc.collect()
-    m20g = Model(ModelConfig(arch="gat", num_layers=2, dim_init=feat,
-                             dim_hid=128, num_cls=16, lr=0.01), ds20)
-    m20g.train_epochs(scale_epochs)
-    t0 = time.perf_counter()
-    m20g.train_epochs(scale_epochs)
-    gat20_epoch_s = (time.perf_counter() - t0) / scale_epochs
-    del m20g
-    gc.collect()
+    if _init_backend():
+        import jax.numpy as jnp
 
-    print(json.dumps({
+        from graphaibench_tpu.graph.generators import rmat
+        from graphaibench_tpu.graph.io import GnnDataset
+        from graphaibench_tpu.nn.layers import ModelConfig
+        from graphaibench_tpu.nn.model import GraphBundle, Model
+        from graphaibench_tpu.ops.spmm import spmm_ell
+
+        scale = int(os.environ.get("GAB_BENCH_SCALE", "17"))
+        ef, feat = (16, 128) if scale >= 17 else (8, 16)
+        scale20 = int(os.environ.get("GAB_BENCH_SCALE20", "20"))
+        ef20 = 32 if scale20 >= 20 else 8
+        rng = np.random.default_rng(0)
+        g = gb = x = ds = None
+
+        def make_ds(graph, feats):
+            labels = rng.integers(0, 16, graph.nv).astype(np.int32)
+            mask = np.ones(graph.nv, dtype=np.uint8)
+            tr = (0, graph.nv, graph.nv)
+            return GnnDataset(graph=graph, feats=np.asarray(feats),
+                              labels=labels, train_mask=mask, val_mask=mask,
+                              test_mask=mask, num_classes=16, train_range=tr,
+                              val_range=tr, test_range=tr)
+
+        with _section("rmat17_spmm") as chk:
+            chk()
+            g = rmat(scale, ef, seed=0)
+            gb = GraphBundle.build(g, "gcn")
+            nv, ne = gb.host.nv, gb.host.ne
+            x = jnp.asarray(rng.standard_normal((nv, feat)).astype(np.float32))
+            # SpMM throughput (best strategy for this size: ELL; packed
+            # static weights = the production training path)
+            dt = _bench_looped(
+                lambda i, v: spmm_ell(gb.device, gb.edge_w_agg, v), x, 20)
+            headline["edges_per_s"] = ne / dt
+            slots = sum(b.nbr.size for b in gb.device.ell)
+            EXTRA["graph"] = f"rmat{scale} nv={nv} ne={ne} feat={feat}"
+            EXTRA["spmm_ms"] = dt * 1e3
+            EXTRA["ell_padding_overhead"] = slots / ne
+
+        with _section("rmat17_roofline") as chk:
+            chk()
+            # roofline: pure weighted row-gather of the same number of
+            # padded rows (iteration-dependent indices defeat
+            # constant-folding rewrites)
+            slots = sum(b.nbr.size for b in gb.device.ell)
+            idx = jnp.asarray(rng.integers(0, g.nv, slots).astype(np.int32))
+            wg = jnp.asarray(rng.standard_normal(slots).astype(np.float32))
+
+            def gather_only(i, acc):
+                shifted = (idx + i) % g.nv
+                return acc + (x[shifted] * wg[:, None]).sum(0)
+
+            dt_g = _bench_looped(gather_only, jnp.zeros(feat), 10)
+            gather_rows_per_s = slots / dt_g
+            headline["sol_edges_per_s"] = gather_rows_per_s * g.ne / slots
+            EXTRA["gather_rows_per_s"] = float(gather_rows_per_s)
+            EXTRA["sol_edges_per_s"] = float(headline["sol_edges_per_s"])
+
+        with _section("rmat17_gcn_epoch") as chk:
+            chk()
+            ds = make_ds(g, x)
+            cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=feat,
+                              dim_hid=128, num_cls=16, lr=0.01)
+            EXTRA["gcn_epoch_s"] = _timed_epochs(Model(cfg, ds), 10)
+
+        with _section("rmat17_gat_epoch") as chk:
+            chk()
+            cfg_gat = ModelConfig(arch="gat", num_layers=2, dim_init=feat,
+                                  dim_hid=128, num_cls=16, lr=0.01)
+            EXTRA["gat_epoch_s"] = _timed_epochs(Model(cfg_gat, ds), 10)
+
+        # --- scale regime: rmat20 (1M v / 32M e), where the gather-
+        # locality cliff lives (CLAUDE.md scale findings). Each sub-
+        # section is isolated so an OOM here never erases the rmat17
+        # record above.
+        import gc
+
+        del gb, ds
+        g20 = x20 = ds20 = None
+        gc.collect()
+
+        with _section("rmat20_spmm") as chk:
+            chk()
+            g20 = rmat(scale20, ef20, seed=0)
+            gb20 = GraphBundle.build(g20, "gcn")
+            x20 = jnp.asarray(
+                rng.standard_normal((g20.nv, feat)).astype(np.float32))
+            dt20 = _bench_looped(
+                lambda i, v: spmm_ell(gb20.device, gb20.edge_w_agg, v), x20, 5)
+            EXTRA["rmat20_spmm_ms"] = dt20 * 1e3
+            EXTRA["rmat20_spmm_edges_per_s"] = g20.ne / dt20
+            del gb20
+            gc.collect()
+
+        with _section("rmat20_gcn_epoch") as chk:
+            chk()
+            ds20 = make_ds(g20, x20)
+            del x20
+            gc.collect()
+            m20 = Model(ModelConfig(arch="gcn", num_layers=2, dim_init=feat,
+                                    dim_hid=128, num_cls=16, lr=0.01), ds20)
+            EXTRA["rmat20_gcn_epoch_s"] = _timed_epochs(m20, 3)
+            del m20
+            gc.collect()
+
+        with _section("rmat20_gat_epoch") as chk:
+            chk()
+            m20g = Model(ModelConfig(arch="gat", num_layers=2, dim_init=feat,
+                                     dim_hid=128, num_cls=16, lr=0.01), ds20)
+            EXTRA["rmat20_gat_epoch_s"] = _timed_epochs(m20g, 3)
+            del m20g
+            gc.collect()
+
+    value = headline["edges_per_s"]
+    sol = headline["sol_edges_per_s"]
+    record = {
         "metric": "spmm_edges_per_s",
-        "value": float(edges_per_s),
+        "value": None if value is None else float(value),
         "unit": "edges/s",
-        "vs_baseline": float(edges_per_s / sol_edges_per_s),
-        "extra": {
-            "graph": f"rmat{scale} nv={nv} ne={ne} feat={feat}",
-            "spmm_ms": dt * 1e3,
-            "ell_padding_overhead": slots / ne,
-            "gather_rows_per_s": float(gather_rows_per_s),
-            "sol_edges_per_s": float(sol_edges_per_s),
-            "gcn_epoch_s": epoch_s,
-            "gat_epoch_s": gat_epoch_s,
-            "rmat20_spmm_ms": dt20 * 1e3,
-            "rmat20_spmm_edges_per_s": g20.ne / dt20,
-            "rmat20_gcn_epoch_s": gcn20_epoch_s,
-            "rmat20_gat_epoch_s": gat20_epoch_s,
-        },
-    }))
+        "vs_baseline": (None if value is None or not sol
+                        else float(value / sol)),
+        "extra": EXTRA,
+    }
+    if ERRORS:
+        record["errors"] = ERRORS
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -159,8 +159,17 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
                 decode_hybrid_device,
             )
 
-            g = decode_hybrid_device(cg)
-            print("decoded hybrid on device")
+            try:
+                g = decode_hybrid_device(cg)
+                print("decoded hybrid on device")
+            # ValueError: low-degree lanes past the trip grid (large
+            # threshold + hub) or a stream past the int32 bit-position
+            # limit — both decode fine on host
+            except ValueError as e:
+                from graphaibench_tpu.compress.cli import decode_any
+
+                g = decode_any(cg)
+                print(f"decoded on host ({e})")
         else:
             from graphaibench_tpu.compress.cli import decode_any
             g = decode_any(cg)

@@ -142,27 +142,34 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
     trainer = make_sharded_trainer(mesh, cfg, sg, ds.feats, ds.labels,
                                    ds.train_range, ds.train_mask)
     params = init_params(cfg)
-    opt_state = OPTIMIZERS["adam"](lr=cfg.lr).init(params)
+    opt_state = OPTIMIZERS[cfg.optimizer](lr=cfg.lr).init(params)
     import time as _time
+
+    labels = jnp.asarray(ds.labels)
+
+    def masked_acc(logits, rng_, mask):
+        begin, end, _ = rng_
+        idx = jnp.arange(logits.shape[0])
+        valid = (idx >= begin) & (idx < end) & (jnp.asarray(mask) != 0)
+        if cfg.is_sigmoid:
+            return float(gmath.masked_f1_micro(jax.nn.sigmoid(logits),
+                                               labels, valid))
+        return float(gmath.masked_accuracy_single(logits, labels, valid))
 
     t0 = _time.perf_counter()
     for epoch in range(epochs):
         params, opt_state, loss = trainer.train_step(params, opt_state)
-        print(f"Epoch {epoch:3d}: train_loss = {float(loss):.4f}")
+        line = f"Epoch {epoch:3d}: train_loss = {float(loss):.4f}"
+        if epoch % val_interval == 0 and epoch != 0:
+            # same cadence/format as the single-chip Model.train
+            logits = jnp.asarray(trainer.eval_logits(params))
+            line += f" val_acc {masked_acc(logits, ds.val_range, ds.val_mask):.3f}"
+        print(line)
     dt = _time.perf_counter() - t0
     print(f"time per epoch: {dt / max(epochs, 1):.4f} s")
 
     logits = jnp.asarray(trainer.eval_logits(params))
-    begin, end, _ = ds.test_range
-    idx = jnp.arange(logits.shape[0])
-    valid = (idx >= begin) & (idx < end) & (
-        jnp.asarray(ds.test_mask) != 0)
-    labels = jnp.asarray(ds.labels)
-    if cfg.is_sigmoid:
-        acc = float(gmath.masked_f1_micro(jax.nn.sigmoid(logits), labels,
-                                          valid))
-    else:
-        acc = float(gmath.masked_accuracy_single(logits, labels, valid))
+    acc = masked_acc(logits, ds.test_range, ds.test_mask)
     print(f"Test accuracy: {acc:.4f}")
     return 0
 

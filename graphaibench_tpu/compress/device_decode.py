@@ -266,7 +266,9 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
     if len(lanes):
         # +4 skips the per-vertex count word (offsets count words)
         pos = (np.asarray(vg.offsets, dtype=np.int64)[lanes] * 4 + 4)
-        assert pos.max(initial=0) + 20 < len(vg.data) + pad, "stream bounds"
+        if not pos.max(initial=0) + 20 < len(vg.data) + pad:
+            raise ValueError("device varintgb decode: offsets point past "
+                             "the padded stream")
         pos = pos.astype(np.int32)
         ngl = n_groups[lanes].astype(np.int32)
         degl = deg[lanes].astype(np.int32)
@@ -289,7 +291,9 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
                 jnp.asarray(np.concatenate([degl[sel], pd])),
                 jnp.asarray(np.concatenate([base[sel], pd])),
                 col, trip, max(ne, 1))
-        assert lo == len(lanes), "lane coverage"
+        if lo != len(lanes):
+            raise ValueError("device varintgb decode: lanes exceed the "
+                             "trip grid")
     return CSRGraph(row_ptr=row_ptr,
                     col_idx=np.asarray(col[:ne], dtype=np.int32))
 
@@ -314,7 +318,9 @@ def decode_hybrid_device(hg) -> CSRGraph:
     row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
     assert row_ptr[-1] == ne, (row_ptr[-1], ne)
     off = np.asarray(hg.offsets, dtype=np.int64)  # BYTE offsets
-    assert off[-1] * 8 < 2**31, "stream too large for int32 bit positions"
+    if not off[-1] * 8 < 2**31:
+        raise ValueError("device hybrid decode: stream too large for "
+                         "int32 bit positions")
 
     pad = (-len(hg.data)) % 4 + 16
     raw = hg.data + b"\x00" * pad
@@ -355,7 +361,9 @@ def decode_hybrid_device(hg) -> CSRGraph:
                 jnp.asarray(np.concatenate([lane_v[sel], pd])),
                 jnp.asarray(np.concatenate([base[sel], pd])),
                 col, hg.zeta_k, trip, max(ne, 1))
-        assert lo == len(low), "degree exceeds hybrid trip grid"
+        if lo != len(low):
+            raise ValueError("device hybrid decode: degree exceeds the "
+                             "hybrid trip grid")
 
     high = np.nonzero(deg >= hg.threshold)[0]
     if len(high):

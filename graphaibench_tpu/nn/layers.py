@@ -52,6 +52,7 @@ class ModelConfig:
     use_dense: bool = False
     lr: float = 0.02
     spmm_impl: str = "auto"
+    optimizer: str = "adam"   # any key of nn/optim.OPTIMIZERS
 
     def __post_init__(self):
         assert self.arch in ("gcn", "sage", "gat", "ggnn"), self.arch

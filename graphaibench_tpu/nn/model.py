@@ -101,7 +101,7 @@ class Model:
         data: GnnDataset,
         *,
         inductive: bool = False,
-        optimizer: str = "adam",
+        optimizer: str | None = None,   # overrides cfg.optimizer
         seed: int = 0,
         with_ell: bool = True,
     ):
@@ -118,7 +118,7 @@ class Model:
             self.training = self.full
 
         self.params = init_params(cfg)
-        self.opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
+        self.opt = optim.OPTIMIZERS[optimizer or cfg.optimizer](lr=cfg.lr)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed)
 

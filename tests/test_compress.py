@@ -257,6 +257,32 @@ def test_varintgb_trip_grid_host_fallback(tmp_path):
     assert np.array_equal(g2.col_idx, g.col_idx)
 
 
+def test_hybrid_trip_grid_host_fallback(tmp_path):
+    """Hybrid with a large threshold routes a >2048-degree hub down the
+    LOW-degree zeta lanes, past their trip grid: the device decoder must
+    raise ValueError (not assert — vanishes under python -O) and the
+    analytics dispatcher must fall back to the host decoder (ADVICE r2)."""
+    import pytest
+
+    from graphaibench_tpu.analytics import run_benchmark
+    from graphaibench_tpu.compress import hybrid
+    from graphaibench_tpu.compress.cli import save_compressed
+    from graphaibench_tpu.compress.device_decode import decode_hybrid_device
+    from graphaibench_tpu.graph.csr import from_edges
+
+    hub_deg = 2500       # > 2048 (last low-lane trip), < threshold
+    src = np.full(hub_deg, 0)
+    dst = np.arange(1, hub_deg + 1)
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = from_edges(src, dst, hub_deg + 1)
+    hg = hybrid.encode_graph(g, threshold=3000)
+    with pytest.raises(ValueError, match="hybrid trip grid"):
+        decode_hybrid_device(hg)
+    prefix = str(tmp_path / "hubhybrid")
+    save_compressed(hg, prefix)
+    assert run_benchmark("tc", prefix, []) == 0
+
+
 def test_compressed_prefix_analytics(tmp_path, citeseer):
     """analytics CLI path on a compressed prefix (reference
     tc_omp_compressed semantics)."""

@@ -321,3 +321,23 @@ def test_locality_order_cuts_halo():
     # bfs order also helps
     g3 = T.relabel(g, T.locality_order(g, "bfs"))
     assert halo_of(g3) < 0.9 * base
+
+
+def test_train_cli_sharded_val_acc(monkeypatch, capsys):
+    """GAB_SHARDS routes `cli train` onto the sharded trainer, which must
+    print val accuracy at val_interval cadence and honor cfg.optimizer
+    like the single-chip Model path (ADVICE r2)."""
+    from graphaibench_tpu import cli
+
+    monkeypatch.setenv("GAB_SHARDS", "4")
+    # argv: arch ds epochs threads loss hidden sdrop fdrop lr layers
+    #       subg_size val_interval
+    rc = cli.cmd_train(["gcn", "/root/reference/inputs/cora", "5", "0",
+                        "softmax", "16", "0", "0", "0.02", "2", "0", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sharded trainer: 4 device(s)" in out
+    val_lines = [l for l in out.splitlines() if "val_acc" in l]
+    assert [l.split(":")[0] for l in val_lines] == ["Epoch   2", "Epoch   4"]
+    acc = float(out.rsplit("Test accuracy:", 1)[1])
+    assert 0.0 <= acc <= 1.0
