@@ -39,12 +39,24 @@ def resolve_dataset(name: str) -> str:
 
 
 def cmd_train(argv: list[str]) -> int:
+    # optional flags (may appear anywhere): --timers prints the stage
+    # time breakdown after training (the reference prints its per-op
+    # table on every run, train.cpp:60-76; under jit the honest
+    # granularity is per device-synced stage); --profile=DIR captures a
+    # jax.profiler trace of the whole run (nvprof/VTune analog).
+    use_timers = "--timers" in argv
+    profile_dir = None
+    argv = [a for a in argv if a != "--timers"]
+    for a in list(argv):
+        if a.startswith("--profile="):
+            profile_dir = a.split("=", 1)[1]
+            argv.remove(a)
     if len(argv) < 2:
         print(
             "usage: train <arch> <dataset> [epochs=10] [threads=0] "
             "[loss=softmax] [hidden=16] [score_drop=0] [feat_drop=0] "
             "[lr=0.02] [layers=2] [subg_size=0] [val_interval=50] "
-            "[inductive=0]"
+            "[inductive=0] [--timers] [--profile=DIR]"
         )
         return 2
     from graphaibench_tpu.graph.io import load_gnn_dataset
@@ -94,25 +106,41 @@ def cmd_train(argv: list[str]) -> int:
         f"score_drop = {score_drop}, subg_size = {subg_size}, "
         f"val_interval = {val_interval}, learning_rate = {lr}"
     )
+    import contextlib
+
+    from graphaibench_tpu.utils.timers import TIMERS, profiler_trace
+
+    timers = TIMERS if use_timers else None
+    if timers is not None:
+        timers.reset()
+    prof = profiler_trace(profile_dir) if profile_dir else contextlib.nullcontext()
+
     shards = os.environ.get("GAB_SHARDS", "")
-    if shards and subg_size == 0 and not inductive:
-        # the production multi-chip path from the CLI: vertex-sharded
-        # halo-exchange trainer over a mesh of N devices (GAB_SHARDS=N,
-        # or "auto" for every visible device)
-        return _train_sharded(cfg, ds, epochs, val_interval, shards)
-    if subg_size > 0:
-        from graphaibench_tpu.nn.sampler import SaintSampler  # noqa: F401
-        model = Model(cfg, ds, inductive=True)
-        model.train_sampled(epochs, subg_size, val_interval=val_interval)
-    else:
-        model = Model(cfg, ds, inductive=inductive)
-        model.train(epochs, val_interval=val_interval)
-    print(f"Test accuracy: {model.evaluate('test'):.4f}")
+    with prof:
+        if shards and subg_size == 0 and not inductive:
+            # the production multi-chip path from the CLI: vertex-sharded
+            # halo-exchange trainer over a mesh of N devices (GAB_SHARDS=N,
+            # or "auto" for every visible device)
+            rc = _train_sharded(cfg, ds, epochs, val_interval, shards,
+                                timers=timers)
+            if timers is not None:
+                timers.print_timers()
+            return rc
+        if subg_size > 0:
+            from graphaibench_tpu.nn.sampler import SaintSampler  # noqa: F401
+            model = Model(cfg, ds, inductive=True, timers=timers)
+            model.train_sampled(epochs, subg_size, val_interval=val_interval)
+        else:
+            model = Model(cfg, ds, inductive=inductive, timers=timers)
+            model.train(epochs, val_interval=val_interval)
+        print(f"Test accuracy: {model.evaluate('test'):.4f}")
+    if timers is not None:
+        timers.print_timers()
     return 0
 
 
 def _train_sharded(cfg, ds, epochs: int, val_interval: int,
-                   shards: str) -> int:
+                   shards: str, timers=None) -> int:
     """Full-batch training on the vertex-sharded halo-exchange trainer
     (parallel/train.py) with reference-style epoch lines and the same
     masked test accuracy as the single-chip Model."""
@@ -125,6 +153,7 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
     from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
     from graphaibench_tpu.nn.optim import OPTIMIZERS
     from graphaibench_tpu.ops import math as gmath
+    from graphaibench_tpu.utils import timers as utimers
     from graphaibench_tpu.parallel import (
         AXIS,
         build_sharded_graph,
@@ -158,18 +187,30 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
 
     t0 = _time.perf_counter()
     for epoch in range(epochs):
+        ts = _time.perf_counter()
         params, opt_state, loss = trainer.train_step(params, opt_state)
         line = f"Epoch {epoch:3d}: train_loss = {float(loss):.4f}"
+        if timers is not None:   # float(loss) above synced the device
+            timers.add(utimers.OP_STEP, _time.perf_counter() - ts)
         if epoch % val_interval == 0 and epoch != 0:
             # same cadence/format as the single-chip Model.train
+            te = _time.perf_counter()
             logits = jnp.asarray(trainer.eval_logits(params))
             line += f" val_acc {masked_acc(logits, ds.val_range, ds.val_mask):.3f}"
+            if timers is not None:
+                timers.add(utimers.OP_EVAL, _time.perf_counter() - te)
         print(line)
     dt = _time.perf_counter() - t0
     print(f"time per epoch: {dt / max(epochs, 1):.4f} s")
 
+    te = _time.perf_counter()
     logits = jnp.asarray(trainer.eval_logits(params))
     acc = masked_acc(logits, ds.test_range, ds.test_mask)
+    if timers is not None:
+        timers.add(utimers.OP_EVAL, _time.perf_counter() - te)
+        # standalone halo all_to_all cost (overlapped in the real step)
+        trainer.halo_probe()   # compile
+        timers.add(utimers.OP_HALO, trainer.halo_probe())
     print(f"Test accuracy: {acc:.4f}")
     return 0
 

@@ -25,6 +25,7 @@ from graphaibench_tpu.nn.layers import ModelConfig, apply_model, init_params
 from graphaibench_tpu.nn.losses import masked_sigmoid_loss, masked_softmax_loss
 from graphaibench_tpu.ops import math as gmath
 from graphaibench_tpu.ops.device_graph import DeviceGraph, to_device_graph
+from graphaibench_tpu.utils import timers as timers_mod
 
 
 def prepare_graph(g: CSRGraph, arch: str) -> CSRGraph:
@@ -104,7 +105,9 @@ class Model:
         optimizer: str | None = None,   # overrides cfg.optimizer
         seed: int = 0,
         with_ell: bool = True,
+        timers=None,   # utils.timers.OpTimers: stage breakdown (train.cpp:60-76)
     ):
+        self.timers = timers
         self.cfg = cfg
         self.data = data
         self.inductive = inductive
@@ -247,9 +250,11 @@ class Model:
         total = 0.0
         for epoch in range(num_epochs):
             t0 = time.perf_counter()
-            loss, acc = self.train_epoch()
+            loss, acc = self.train_epoch()   # float() inside = device sync
             dt = time.perf_counter() - t0
             total += dt
+            if self.timers is not None:
+                self.timers.add(timers_mod.OP_STEP, dt)
             if verbose:
                 line = f"Epoch {epoch:3d} train_loss {loss:.3f} train_acc {acc:.3f}"
                 if epoch % val_interval == 0 and epoch != 0:
@@ -347,6 +352,10 @@ class Model:
             for epoch in range(num_epochs):
                 t0 = time.perf_counter()
                 d = fut.result()
+                if self.timers is not None:
+                    # sampler wait NOT hidden by the device step overlap
+                    self.timers.add(timers_mod.OP_SAMPLE,
+                                    time.perf_counter() - t0)
                 e_pad = d["e_pad"]
                 if epoch + 1 < num_epochs:   # double-buffer the sampler
                     fut = pool.submit(prepare, epoch + 1, e_pad)
@@ -356,11 +365,16 @@ class Model:
                     deg=jnp.asarray(d["deg"]), trans_perm=jnp.asarray(d["tp"]),
                     ell=(), nv=n_pad, ne=e_pad,
                 )
+                t_step = time.perf_counter()
                 self.params, self.opt_state, loss, acc = step(
                     self.params, self.opt_state, dg, jnp.asarray(d["ww"]),
                     jnp.asarray(d["x"]), jnp.asarray(d["lab"]),
                     jnp.asarray(d["valid"]), jnp.float32(d["n_real"]),
                 )
+                if self.timers is not None:
+                    float(loss)   # device sync so `step` is honest
+                    self.timers.add(timers_mod.OP_STEP,
+                                    time.perf_counter() - t_step)
                 dt = time.perf_counter() - t0
                 total += dt
                 if verbose:
@@ -374,13 +388,18 @@ class Model:
         return total
 
     def evaluate(self, split: str = "test") -> float:
+        t0 = time.perf_counter()
         logits = self._eval_logits(self.params, self.full.device,
                                    self.full.edge_w_agg, self.feats)
         begin, end, _ = self.ranges[split]
         idx = jnp.arange(logits.shape[0])
         valid = (idx >= begin) & (idx < end) & (self.masks[split] != 0)
         if self.cfg.is_sigmoid:
-            return float(
+            acc = float(
                 gmath.masked_f1_micro(jax.nn.sigmoid(logits), self.labels, valid)
             )
-        return float(gmath.masked_accuracy_single(logits, self.labels, valid))
+        else:
+            acc = float(gmath.masked_accuracy_single(logits, self.labels, valid))
+        if self.timers is not None:   # float() above synced the device
+            self.timers.add(timers_mod.OP_EVAL, time.perf_counter() - t0)
+        return acc

@@ -14,6 +14,7 @@ the unified extended-table layout).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable
 
 import jax
@@ -171,6 +172,11 @@ class ShardedTrainer:
     # inside ONE dispatch via lax.scan (the tunnelled-TPU dispatch costs
     # ~10 ms/call; scan-batching is how Model.train_epochs amortizes it)
     train_steps: Callable = None
+    # () -> float: one dim_hid-wide halo all_to_all measured ALONE,
+    # device-synced — the `halo` row of the --timers breakdown. In the
+    # production step the collective overlaps interior compute, so this
+    # is its standalone (upper-bound) cost, not an additive share.
+    halo_probe: Callable = None
 
 
 def make_sharded_trainer(
@@ -333,6 +339,23 @@ def make_sharded_trainer(
     def eval_logits(params):
         return _logits_jit(params, x_d, ell_dev, *ga_args)[:nv]
 
+    def local_halo(h_own, send_idx, halo_map):
+        halo = halo_exchange(h_own, send_idx[0], halo_map[0], axis=axis)
+        return jnp.sum(halo)   # scalar output forces the collective
+
+    halo_sm = jax.shard_map(
+        local_halo, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None)),
+        out_specs=P(), check_vma=False)
+    _halo_jit = jax.jit(halo_sm)
+    probe_w = min(cfg.dim_hid, x_pad.shape[1])   # layer activation width
+
+    def halo_probe():
+        t0 = time.perf_counter()
+        float(_halo_jit(x_d[:, :probe_w], graph_arrays["send_idx"],
+                        graph_arrays["halo_map"]))   # float() = device sync
+        return time.perf_counter() - t0
+
     return ShardedTrainer(mesh=mesh, train_step=train_step,
                           eval_logits=eval_logits, nv=nv,
-                          train_steps=train_steps)
+                          train_steps=train_steps, halo_probe=halo_probe)

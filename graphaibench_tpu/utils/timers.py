@@ -12,6 +12,14 @@ import contextlib
 import time
 from collections import defaultdict
 
+# stage tags for the jitted production path: inside one compiled step
+# XLA fuses ops, so the honest per-run breakdown is per STAGE with a
+# device sync at each boundary (train.cpp:60-76 prints per-op because
+# every reference op is its own kernel launch; here `step` IS one launch)
+OP_STEP = "step"          # fwd+bwd+optimizer, device-synced
+OP_EVAL = "eval"          # full-graph inference + masked accuracy
+OP_HALO = "halo"          # sharded halo all_to_all, when measured alone
+
 # op tags mirroring OP_DENSEMM / OP_SPARSEMM / ... (global.h:42-54)
 OP_DENSEMM = "dense_mm"
 OP_SPARSEMM = "sparse_mm"
