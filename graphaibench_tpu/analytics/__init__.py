@@ -14,7 +14,10 @@ from graphaibench_tpu.analytics import verifiers  # noqa: F401
 from graphaibench_tpu.analytics.ann import knn_search  # noqa: F401
 from graphaibench_tpu.analytics.assignment import hungarian  # noqa: F401
 from graphaibench_tpu.analytics.bc import bc_single_source, betweenness_centrality  # noqa: F401
-from graphaibench_tpu.analytics.cc import connected_components  # noqa: F401
+from graphaibench_tpu.analytics.cc import (  # noqa: F401
+    connected_components,
+    connected_components_afforest,
+)
 from graphaibench_tpu.analytics.cf import cf_train  # noqa: F401
 from graphaibench_tpu.analytics.coloring import color  # noqa: F401
 from graphaibench_tpu.analytics.community import louvain, modularity  # noqa: F401
@@ -241,8 +244,13 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         ref = verifiers.pagerank_serial(g, g)
         ok = np.allclose(scores, ref, atol=1e-4)
     elif kernel == "cc":
-        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
-        comp = np.asarray(connected_components(dg))
+        if pull_ok:
+            # Afforest sampling shortcut (omp_afforest.cc): first-k link
+            # rounds + giant-component contraction; symmetric inputs only
+            comp = connected_components_afforest(g)
+        else:
+            dg = to_device_graph(g, with_transpose=False, with_ell=False)
+            comp = np.asarray(connected_components(dg))
         dt = time.perf_counter() - t0
         print(f"num_components = {len(np.unique(comp))}")
         ref = verifiers.cc_serial(g)

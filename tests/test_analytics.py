@@ -178,3 +178,62 @@ def test_sssp_delta_stepping_matches_dijkstra(citeseer):
     bf = np.asarray(sssp_bellman_ford(dg, jnp.asarray(w), 0))
     assert np.allclose(bf, dijkstra_serial(g, w, 0), rtol=1e-5,
                        equal_nan=True)
+
+
+# ---- Afforest sampling shortcut (omp_afforest.cc analog) -----------------
+
+def test_cc_afforest_rmat():
+    from graphaibench_tpu.analytics import connected_components_afforest
+
+    g = T.sort_and_clean(T.symmetrize(rmat(10, 6, seed=3)))
+    np.testing.assert_array_equal(connected_components_afforest(g),
+                                  verifiers.cc_serial(g))
+
+
+def test_cc_afforest_through_giant():
+    """Two low-id fringe chains joined ONLY via the giant component whose
+    ids are all larger: a skip-the-giant scheme that freezes the giant
+    label would never propagate 1 across to the other chain — the
+    contraction must."""
+    from graphaibench_tpu.analytics import connected_components_afforest
+    from graphaibench_tpu.graph.csr import from_edges
+
+    # giant clique on ids 10..59, chain A = 1-2-(10), chain B = 3-4-(11)
+    n = 60
+    cs, cd = [], []
+    for u in range(10, 60):
+        for v in range(u + 1, min(u + 5, 60)):   # 4-regular-ish band
+            cs.append(u), cd.append(v)
+    cs += [1, 2, 3, 4]
+    cd += [2, 10, 4, 11]
+    # isolated vertices 0 and 5..9 stay their own components
+    g = T.sort_and_clean(T.symmetrize(from_edges(cs, cd, n)))
+    got = connected_components_afforest(g)
+    ref = verifiers.cc_serial(g)
+    np.testing.assert_array_equal(got, ref)
+    assert ref[59] == 1   # the giant really takes the fringe label
+
+
+def test_cc_afforest_fallback_many_components(small):
+    """Uniform small graph with no giant component exercises the
+    giant_frac fallback; disconnected union exercises multi-component
+    contraction."""
+    from graphaibench_tpu.analytics import connected_components_afforest
+    from graphaibench_tpu.graph.csr import from_edges
+
+    gs = T.sort_and_clean(T.symmetrize(small))
+    np.testing.assert_array_equal(connected_components_afforest(gs),
+                                  verifiers.cc_serial(gs))
+    # many tiny components (pairs): most-frequent label covers < 20%
+    g2 = T.symmetrize(from_edges(np.arange(0, 40, 2), np.arange(1, 40, 2), 41))
+    np.testing.assert_array_equal(connected_components_afforest(g2),
+                                  verifiers.cc_serial(g2))
+
+
+def test_cc_afforest_cli_route(capsys):
+    """Symmetric CLI cc input routes through the Afforest path and the
+    verifier prints Correct."""
+    from graphaibench_tpu.analytics import run_benchmark
+
+    assert run_benchmark("cc", fixture_path("citeseer"), []) == 0
+    assert "Correct" in capsys.readouterr().out
