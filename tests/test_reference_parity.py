@@ -103,3 +103,59 @@ def test_reference_binary_parity_sage_gat(synth_cora, arch, acc_tol):
     for i in range(10):
         assert abs(losses[i] - golden["train_loss"][i]) < 0.25, (i, losses[i])
     assert abs(model.evaluate("test") - golden["test_acc"]) < acc_tol
+
+
+def test_gat_parity_gap_explained(synth_cora):
+    """The GAT final-accuracy gap vs the compiled binary (0.899 ours vs
+    0.893 binary) is SEMANTIC, not numerical — pinned by a float64
+    bisect oracle (GatOracle):
+
+    * reference semantics = partial gradient (gat_aggregator.cpp
+      d_aggregate drops the feature->score path, :199 propagates only
+      the transposed value path) + per-update-call Adam power schedule
+      (optimizer.cpp:33-34): the float64 oracle reproduces the binary's
+      10-epoch loss trajectory to print precision and its 0.893 exactly,
+      so the binary carries NO material f32 noise here;
+    * our semantics = exact full gradient (verified equal to jax
+      autodiff at machine epsilon) + per-step Adam: the oracle
+      reproduces our Model's trajectory and 0.899 exactly.
+    """
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle_gnn import GatOracle
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.nn.layers import init_params
+
+    with open(os.path.join(os.path.dirname(GOLDEN),
+                           "ref_sage_gat_cora_synth.json")) as f:
+        golden = json.load(f)["gat"]
+    ds = synth_cora
+    cfg = ModelConfig(arch="gat", num_layers=2, dim_init=ds.feat_len,
+                      dim_hid=16, num_cls=ds.num_classes, lr=0.02,
+                      use_l2norm=True, use_dense=True)
+    model = Model(cfg, ds)
+    ours = [model.train_epoch()[0] for _ in range(10)]
+    ours_acc = model.evaluate("test")
+
+    g = T.add_selfloop(ds.graph)
+    b, e, _ = ds.train_range
+    tb, te, _ = ds.test_range
+    params = init_params(cfg)
+
+    ref_o = GatOracle(g, cfg.gconv_dims, params, cfg.lr, b, e, ds.labels,
+                      ds.train_mask, full_grad=False, ref_adam_schedule=True)
+    ref_losses = [ref_o.step(np.asarray(ds.feats))[0] for _ in range(10)]
+    ref_acc = ref_o.accuracy(np.asarray(ds.feats), tb, te, ds.test_mask,
+                             ds.labels)
+    for i in range(10):   # binary == its float64 oracle (3-decimal prints)
+        assert abs(ref_losses[i] - golden["train_loss"][i]) < 1e-3, i
+    assert abs(ref_acc - golden["test_acc"]) < 5e-4
+
+    our_o = GatOracle(g, cfg.gconv_dims, params, cfg.lr, b, e, ds.labels,
+                      ds.train_mask, full_grad=True, ref_adam_schedule=False)
+    our_losses = [our_o.step(np.asarray(ds.feats))[0] for _ in range(10)]
+    our_acc = our_o.accuracy(np.asarray(ds.feats), tb, te, ds.test_mask,
+                             ds.labels)
+    for i in range(10):   # our f32 Model == its float64 oracle
+        assert abs(our_losses[i] - ours[i]) < 2e-3, i
+    assert abs(our_acc - ours_acc) < 5e-4
