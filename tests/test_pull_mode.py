@@ -131,3 +131,36 @@ def test_frontier_oracles_at_scale():
                                verifiers.pagerank_serial(g, g), atol=1e-4)
     core = np.asarray(k_core(dg))
     np.testing.assert_array_equal(core, verifiers.kcore_serial(g))
+
+
+def test_bfs_frontier_hybrid():
+    """Frontier-adaptive BFS (direction-optimizing analog): equality with
+    the serial oracle across dense+sparse switches, on symmetric (ELL
+    pull fallback), directed (scatter fallback), and a high-diameter
+    path graph where almost every sweep takes the compacted kernel."""
+    from graphaibench_tpu.analytics.traversal import bfs_frontier
+    from graphaibench_tpu.analytics import verifiers
+    from graphaibench_tpu.graph.csr import from_edges
+    from graphaibench_tpu.graph.generators import rmat
+
+    # symmetric power-law, tiny budget to force dense->sparse switching
+    g = T.sort_and_clean(T.symmetrize(rmat(9, 8, seed=5)))
+    dg = to_device_graph(g, with_transpose=False, with_ell=True)
+    for budget in (1 << 6, 1 << 10, None):
+        got = np.asarray(bfs_frontier(dg, 3, edge_budget=budget))
+        np.testing.assert_array_equal(got, verifiers.bfs_serial(g, 3), budget)
+
+    # directed (no ELL): sparse kernel pushes out-edges
+    gd = T.sort_and_clean(rmat(8, 4, seed=7))
+    dgd = to_device_graph(gd, with_transpose=False, with_ell=False)
+    got = np.asarray(bfs_frontier(dgd, 0, edge_budget=1 << 8))
+    np.testing.assert_array_equal(got, verifiers.bfs_serial(gd, 0))
+
+    # high-diameter path + a few chords: every frontier is tiny
+    n = 3000
+    src = np.arange(n - 1)
+    gp = T.sort_and_clean(T.symmetrize(from_edges(
+        np.r_[src, [0, 100]], np.r_[src + 1, [n // 2, 2900]], n)))
+    dgp = to_device_graph(gp, with_transpose=False, with_ell=True)
+    got = np.asarray(bfs_frontier(dgp, 0))
+    np.testing.assert_array_equal(got, verifiers.bfs_serial(gp, 0))
