@@ -1,8 +1,9 @@
 #!/bin/bash
-# Round-2 TPU measurement queue — run when the tunnel is up.
+# TPU measurement queue (rounds 2+3) — run when the tunnel is up.
 # Captures every pending real-chip measurement in priority order,
-# saving JSON outputs under tools/results/ (gitignored artifacts are
-# summarized into BASELINE.md by hand afterwards).
+# saving JSON outputs under tools/results/ which are COMMITTED per
+# round (VERDICT r2: measured claims must be reproducible from
+# committed artifacts), then summarized into BASELINE.md.
 #
 #   bash tools/tpu_round2_queue.sh [outdir]
 #
