@@ -182,7 +182,8 @@ def _col_chunks(total: int, itemsize: int = 4):
     return [(lo, min(lo + step, total)) for lo in range(0, total, step)]
 
 
-# Gathered-operand dtype for the v2 passes on LARGE graphs: bf16 halves
+# Gathered-operand dtype on LARGE graphs (shared policy: the v2 passes
+# here, ops.spmm.spmm_ell, and the sharded _ell_apply twins): bf16 halves
 # bytes/row, so the (1+F)-column packed table fits ONE <=512 B gather
 # chunk where f32 needs two (the engine is ROW-rate-bound, so chunk
 # count ~= cost), and the per-segment gather view drops from ~66 MB to

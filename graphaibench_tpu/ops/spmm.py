@@ -51,15 +51,30 @@ _GATHER_ROW_BYTES = 512
 def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Degree-bucketed ELL path. Requires g.ell buckets. Wide feature
     matrices are processed in <=512-byte column slices (the measured
-    sweet spot of the TPU gather unit)."""
+    sweet spot of the TPU gather unit).
+
+    On LARGE graphs (the seg-ELL regime) the gathered operand rounds to
+    bf16 — the shared policy of ``fused_gat._v2_gather_dtype``: at F=128
+    f32 rows sit exactly at the 512-byte gather cliff and each 64 MB
+    x-segment fills the measured fast-locality window; bf16 halves both.
+    Accumulation stays in the caller's dtype (einsum promotes), so only
+    the gathered feature values round. Small graphs keep exact f32
+    (reference-parity regime)."""
     assert g.ell or g.seg_ell is not None, \
         "DeviceGraph built without ELL buckets"
+    from graphaibench_tpu.ops.fused_gat import _v2_gather_dtype
+
+    base = x.dtype
+    gdt = _v2_gather_dtype(g, base)
+    if gdt != base:
+        x = x.astype(gdt)
     f = x.shape[1]
     chunk = max(_GATHER_ROW_BYTES // x.dtype.itemsize, 1)
     if f <= chunk:
-        return _spmm_ell_cols(g, w, x)
+        return _spmm_ell_cols(g, w, x, base)
     parts = [
-        _spmm_ell_cols(g, w, x[:, c : c + chunk]) for c in range(0, f, chunk)
+        _spmm_ell_cols(g, w, x[:, c : c + chunk], base)
+        for c in range(0, f, chunk)
     ]
     return jnp.concatenate(parts, axis=1)
 
@@ -91,16 +106,18 @@ def _packed_view(w):
     return None
 
 
-def _spmm_ell_cols(g: DeviceGraph, w, x: jnp.ndarray) -> jnp.ndarray:
+def _spmm_ell_cols(g: DeviceGraph, w, x: jnp.ndarray,
+                   out_dtype=None) -> jnp.ndarray:
     """One <=512-byte column slice of the ELL SpMM. ``w`` is a (ne,)
     array (runtime per-edge values, e.g. GAT scores) or a packed
     per-bucket view (static weights — skips the scalar edge-id gather,
     which at rmat20 scale cost ~3x the feature gather; see
-    PackedEdgeW)."""
+    PackedEdgeW). ``out_dtype`` is the accumulator dtype when ``x`` was
+    rounded for gathering (bf16-at-scale policy)."""
     from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
 
     packed = _packed_view(w)
-    out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
+    out = jnp.zeros((g.nv, x.shape[1]), dtype=out_dtype or x.dtype)
     if packed is None:
         w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel
     for i, (b, (lo, hi)) in enumerate(iter_buckets_sliced(g)):

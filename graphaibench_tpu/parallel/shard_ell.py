@@ -384,8 +384,12 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
                n_out: int) -> jnp.ndarray:
     """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``
     already carries the sentinel zero slot. Sliced buckets gather from
-    their static x slice (column-segmented fast-gather window)."""
-    out = jnp.zeros((n_out, x.shape[1]), x.dtype)
+    their static x slice (column-segmented fast-gather window). At
+    scale the gathered operand rounds to bf16 (shared policy of
+    ``_shard_gather_dtype``); accumulation stays in the input dtype."""
+    base = x.dtype
+    x = x.astype(_shard_gather_dtype(x.shape[0], base))
+    out = jnp.zeros((n_out, x.shape[1]), base)
     for bk in buckets:
         b, sl = _unwrap(bk)
         xs = x if sl is None else x[sl[0]:sl[1]]
@@ -402,8 +406,11 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
 def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
                       n_out: int) -> jnp.ndarray:
     """out[r] += sum_w packed[i] * x[nbr]: the pre-gathered-weight twin
-    of _ell_apply — no per-slot edge-id gather at all."""
-    out = jnp.zeros((n_out, x.shape[1]), x.dtype)
+    of _ell_apply — no per-slot edge-id gather at all. Gathered operand
+    rounds to bf16 at scale (same policy as _ell_apply)."""
+    base = x.dtype
+    x = x.astype(_shard_gather_dtype(x.shape[0], base))
+    out = jnp.zeros((n_out, x.shape[1]), base)
     for i, bk in enumerate(buckets):
         b, sl = _unwrap(bk)
         xs = x if sl is None else x[sl[0]:sl[1]]

@@ -412,6 +412,56 @@ def test_gat_v2_bf16_gathers_close_to_f32():
         dgm.SEG_ELL_MIN_NV = saved
 
 
+def test_spmm_ell_bf16_gathers_close_to_f32():
+    """spmm_ell's large-graph bf16 gathered-operand mode (the policy
+    shared with fused GAT v2) must track the f32 path within bf16
+    tolerance — values and the x/w gradients — on both the plain and
+    column-segmented layouts. Forced on a small graph by dropping the
+    size gate; small graphs below the gate keep exact f32 (the
+    reference-parity regime, untouched by construction)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.ops import device_graph as dgm
+    from graphaibench_tpu.ops.device_graph import (
+        build_seg_ell, pack_edge_values, to_device_graph,
+    )
+    from graphaibench_tpu.ops.spmm import spmm
+
+    g = T.add_selfloop(rmat(9, 8, seed=7))
+    w = jnp.asarray(T.gcn_edge_norms(g))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((g.nv, 128)).astype(np.float32))
+
+    def run_all(dg, wv):
+        out = spmm(dg, wv, x, "ell")
+        gx = jax.grad(lambda xx: (spmm(dg, wv, xx, "ell") ** 2).sum())(x)
+        return out, gx
+
+    saved = dgm.SEG_ELL_MIN_NV
+    try:
+        for seg in (False, True):
+            dg = to_device_graph(g, with_transpose=True, seg_ell=False)
+            if seg:
+                dg = _dc.replace(dg, seg_ell=build_seg_ell(g, seg_rows=128))
+            for wv in (w, pack_edge_values(dg, w)):
+                dgm.SEG_ELL_MIN_NV = saved
+                ref = run_all(dg, wv)           # f32 path
+                dgm.SEG_ELL_MIN_NV = 0          # force bf16 gathers
+                got = run_all(dg, wv)
+                dgm.SEG_ELL_MIN_NV = saved
+                for a, b, name in zip(got, ref, ("out", "dx")):
+                    a, b = np.asarray(a), np.asarray(b)
+                    scale = np.abs(b).max() + 1e-6
+                    np.testing.assert_allclose(a / scale, b / scale,
+                                               atol=3e-2, err_msg=name)
+    finally:
+        dgm.SEG_ELL_MIN_NV = saved
+
+
 def test_gat_v2_in_model_matches_unfused_model():
     """End-to-end: a GAT Model forward with trivial_w=True (v2 path) must
     match trivial_w=False (v1/sddmm path) on identical params."""

@@ -150,6 +150,32 @@ def test_sharded_spmm_empty_shards(mesh):
     np.testing.assert_allclose(out[: g.nv, 0], deg, rtol=1e-5)
 
 
+def test_sharded_spmm_bf16_gathers_close_to_f32(mesh):
+    """The sharded _ell_apply/_ell_apply_packed bf16-at-scale gathered
+    operands (shared policy with the single-chip spmm_ell) must track
+    the f32 path within bf16 tolerance. Forced by dropping the size
+    gate; below the gate the path stays exact f32."""
+    from graphaibench_tpu.ops import device_graph as dgm
+
+    g = rmat(9, 8, seed=3)
+    gsl = T.add_selfloop(g)
+    w = T.gcn_edge_norms(gsl)
+    sg = build_sharded_graph(gsl, w, mesh.devices.size)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((gsl.nv, 128)).astype(np.float32)
+    xp = jnp.asarray(pad_rows(x, sg.padded_nv))
+
+    saved = dgm.SEG_ELL_MIN_NV
+    try:
+        ref = np.asarray(make_sharded_spmm(mesh, sg)(xp))[: gsl.nv]
+        dgm.SEG_ELL_MIN_NV = 0          # force bf16 gathers
+        got = np.asarray(make_sharded_spmm(mesh, sg)(xp))[: gsl.nv]
+    finally:
+        dgm.SEG_ELL_MIN_NV = saved
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-2)
+
+
 def test_overlap_split_matches_unified(mesh):
     """The own/halo overlap split (interior aggregation concurrent with
     the all_to_all) must agree with the unified extended-table layout:
