@@ -83,6 +83,17 @@ def main():
         dgs = dataclasses.replace(dg, seg_ell=seg)
         measure(f"seg{seg_rows >> 10}k", dgs, w_d)
 
+    # bf16-gather ablation: above the seg-ELL gate spmm_ell rounds the
+    # gathered operand to bf16 by default (round-3 policy); measure the
+    # same layouts with it forced OFF to quantify the win
+    from graphaibench_tpu.ops import fused_gat as fg
+
+    fg.V2_GATHER_BF16 = False
+    measure("plain_f32", dg, w_d)
+    seg = build_seg_ell(g, seg_rows=1 << 17)
+    measure("seg128k_f32", dataclasses.replace(dg, seg_ell=seg), w_d)
+    fg.V2_GATHER_BF16 = True
+
     # degree-relabel x segmenting: hot rows first shrinks the hot slice
     perm = np.argsort(-g.degrees(), kind="stable").astype(np.int32)
     g2 = T.relabel(g, perm)
