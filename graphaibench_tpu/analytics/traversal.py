@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphaibench_tpu.ops.device_graph import DeviceGraph
-from graphaibench_tpu.ops.segment import neighbor_reduce
+from graphaibench_tpu.ops.segment import (
+    neighbor_reduce,
+    pack_neighbor_edge_vals,
+)
 
 
 def _has_buckets(g: DeviceGraph) -> bool:
@@ -111,7 +114,9 @@ def sssp_bellman_ford(
     # transpose permutation pull would silently mis-relax asymmetric
     # weights, so fall back to the always-correct push scatter.
     pull = _has_buckets(g) and g.trans_perm is not None
-    w_pull = weights[g.trans_perm] if pull else None
+    # pre-packed into the slot layout: one gather per CALL, not per sweep
+    w_pull = (pack_neighbor_edge_vals(g, weights[g.trans_perm], "min")
+              if pull else None)
 
     def body(state):
         dist, _, it = state
@@ -163,15 +168,23 @@ def _sssp_delta_jit(
     # edge's weight/mask — gather both through trans_perm (see
     # sssp_bellman_ford), else fall back to push
     pull = _has_buckets(g) and g.trans_perm is not None
-    w_pull = weights[g.trans_perm] if pull else None
-    light_pull = light[g.trans_perm] if pull else None
+    if pull:
+        w_pull = weights[g.trans_perm]
+        light_pull = light[g.trans_perm]
+        # two static masked variants, pre-packed into the slot layout
+        # once per call (the per-sweep edge-id gather is loop-invariant)
+        w_light = pack_neighbor_edge_vals(
+            g, jnp.where(light_pull, w_pull, inf), "min")
+        w_heavy = pack_neighbor_edge_vals(
+            g, jnp.where(~light_pull, w_pull, inf), "min")
+    else:
+        w_light = w_heavy = None
 
-    def relax(dist, active, mask, mask_pull):
+    def relax(dist, active, mask, packed_w):
         """One relaxation of edges with src active (+ static edge mask)."""
         if pull:
             cand = neighbor_reduce(
-                g, jnp.where(active, dist, inf), "min",
-                edge_vals=jnp.where(mask_pull, w_pull, inf))
+                g, jnp.where(active, dist, inf), "min", edge_vals=packed_w)
         else:
             contrib = jnp.where(active[src] & mask, dist[src] + weights, inf)
             cand = jnp.full(nv, inf).at[dst].min(contrib)
@@ -194,14 +207,13 @@ def _sssp_delta_jit(
         def inner_body(s):
             d, _ = s
             act = (d >= k * delta) & (d < (k + 1) * delta)
-            nd = relax(d, act, light, light_pull)
+            nd = relax(d, act, light, w_light)
             return nd, jnp.any(nd < d)
 
         dist, _ = jax.lax.while_loop(inner_cond, inner_body, (dist, jnp.bool_(True)))
         # heavy edges once
         act = (dist >= k * delta) & (dist < (k + 1) * delta)
-        dist = relax(dist, act, ~light,
-                     None if light_pull is None else ~light_pull)
+        dist = relax(dist, act, ~light, w_heavy)
         # advance to the next non-empty bucket
         remaining = jnp.where(dist >= (k + 1) * delta, dist, jnp.inf)
         nk = jnp.where(jnp.isfinite(remaining).any(),

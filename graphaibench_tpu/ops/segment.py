@@ -83,11 +83,28 @@ def _ident(kind: str, dtype):
     return {"max": info.min, "min": info.max, "sum": 0}[kind]
 
 
+def pack_neighbor_edge_vals(g: DeviceGraph, edge_vals: jnp.ndarray,
+                            kind: str) -> tuple:
+    """Pre-gather per-edge values into the ELL slot layout, one (R, W)
+    array per bucket (pad slots get the combine identity). Passing the
+    result as ``neighbor_reduce``'s ``edge_vals`` skips the per-slot
+    edge-id scalar gather on EVERY call — for fixpoint solvers (SSSP)
+    that gather is loop-invariant and this hoists it explicitly instead
+    of trusting XLA's while-loop LICM with a multi-MB gather."""
+    from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+
+    ev_ident = 0 if kind != "sum" else _ident("sum", edge_vals.dtype)
+    ev_pad = jnp.concatenate(
+        [edge_vals, jnp.full((1,), ev_ident, edge_vals.dtype)])
+    return tuple(ev_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
+
+
 def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
-                    edge_vals: jnp.ndarray | None = None) -> jnp.ndarray:
+                    edge_vals=None) -> jnp.ndarray:
     """out[i] = reduce_{j in N(i)} vals[j]  (optionally combined with the
     per-edge value: vals[j] + edge_vals[e] for min/max, vals[j] *
-    edge_vals[e] for sum).
+    edge_vals[e] for sum). ``edge_vals`` is a (ne,) array or a
+    pre-packed per-bucket tuple from ``pack_neighbor_edge_vals``.
 
     The PULL-mode relaxation primitive for frontier analytics
     (BFS/CC/PR/BC/SSSP): one dense (R, W) gather + reduction per degree
@@ -103,16 +120,17 @@ def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
     ident = _ident(kind, vals.dtype)
     v2 = jnp.stack([vals, vals], axis=1)               # 2-col packed
     out = jnp.full((g.nv,), ident, vals.dtype)
-    if edge_vals is not None:
+    packed = isinstance(edge_vals, tuple)
+    if edge_vals is not None and not packed:
         ev_ident = 0 if kind != "sum" else _ident("sum", edge_vals.dtype)
         ev_pad = jnp.concatenate(
             [edge_vals, jnp.full((1,), ev_ident, edge_vals.dtype)])
     from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
 
-    for b, (lo, hi) in iter_buckets_sliced(g):
+    for i, (b, (lo, hi)) in enumerate(iter_buckets_sliced(g)):
         vb = v2[lo:hi][b.nbr][..., 0]                  # (R, W)
         if edge_vals is not None:
-            eb = ev_pad[b.edge_id]
+            eb = edge_vals[i] if packed else ev_pad[b.edge_id]
             vb = vb * eb if kind == "sum" else vb + eb
         vb = jnp.where(b.edge_id == g.ne, ident, vb)
         if kind == "max":
