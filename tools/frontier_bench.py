@@ -46,7 +46,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=19)
     ap.add_argument("--ef", type=int, default=30)
-    ap.add_argument("--which", default="bfs,cc,pr,kcore,bc")
+    ap.add_argument("--which", default="bfs,sssp,cc,pr,kcore,bc")
     args = ap.parse_args()
     which = set(args.which.split(","))
 
@@ -70,6 +70,23 @@ def main():
         dt_h, depth_h = timed(lambda: bfs_frontier(dg, 0))
         results["bfs_hybrid_s"] = round(dt_h, 4)
         assert np.array_equal(np.asarray(depth_h), np.asarray(depth))
+    if "sssp" in which:
+        import jax.numpy as jnp
+
+        from graphaibench_tpu.analytics.traversal import (
+            sssp_bellman_ford, sssp_delta_stepping)
+        # symmetric weights (pull-mode contract): w(e) = w(rev e)
+        su, du_ = g.coo()
+        lo = np.minimum(su, du_).astype(np.uint64)
+        hi = np.maximum(su, du_).astype(np.uint64)
+        wsym = ((lo * np.uint64(2654435761) + hi) % 64 + 1).astype(np.float32)
+        dgt = to_device_graph(g, with_transpose=True)
+        w_d = jnp.asarray(wsym)
+        dt, dist = timed(lambda: sssp_bellman_ford(dgt, w_d, 0))
+        results["sssp_bf_s"] = round(dt, 4)
+        dt_d, dist_d = timed(lambda: sssp_delta_stepping(dgt, w_d, 0))
+        results["sssp_delta_s"] = round(dt_d, 4)
+        assert np.allclose(np.asarray(dist), np.asarray(dist_d))
     if "cc" in which:
         from graphaibench_tpu.analytics.cc import (
             connected_components, connected_components_afforest)
