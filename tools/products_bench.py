@@ -64,16 +64,22 @@ def main():
 
     results = {"nv": nv, "ne": ne, "graph_build_s": build_s}
     for arch in ("gcn", "sage"):
-        cfg = ModelConfig(arch=arch, num_layers=2, dim_init=feat,
-                          dim_hid=hid, num_cls=classes, lr=0.01)
-        m = Model(cfg, ds)
-        m.train_epochs(epochs)              # compile + warm
-        t0 = time.perf_counter()
-        m.train_epochs(epochs)
-        results[f"{arch}_epoch_s"] = (time.perf_counter() - t0) / epochs
-        print(f"  {arch}: {results[f'{arch}_epoch_s']:.2f} s/epoch",
-              flush=True)
-        del m
+        # each section guarded: an OOM in one arch must not erase the
+        # other sections' records (bench.py hardening pattern)
+        try:
+            cfg = ModelConfig(arch=arch, num_layers=2, dim_init=feat,
+                              dim_hid=hid, num_cls=classes, lr=0.01)
+            m = Model(cfg, ds)
+            m.train_epochs(epochs)          # compile + warm
+            t0 = time.perf_counter()
+            m.train_epochs(epochs)
+            results[f"{arch}_epoch_s"] = (time.perf_counter() - t0) / epochs
+            print(f"  {arch}: {results[f'{arch}_epoch_s']:.2f} s/epoch",
+                  flush=True)
+            del m
+        except Exception as e:  # noqa: BLE001
+            results[f"{arch}_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"  {arch} FAILED: {results[f'{arch}_error']}", flush=True)
         gc.collect()
 
     # sharded trainer at P=1 (the production multi-chip path on one
