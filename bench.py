@@ -157,7 +157,8 @@ def main():
             dt = _bench_looped(
                 lambda i, v: spmm_ell(gb.device, gb.edge_w_agg, v), x, 20)
             headline["edges_per_s"] = ne / dt
-            slots = sum(b.nbr.size for b in gb.device.ell)
+            from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+            slots = sum(b.nbr.size for b, _ in iter_buckets_sliced(gb.device))
             EXTRA["graph"] = f"rmat{scale} nv={nv} ne={ne} feat={feat}"
             EXTRA["spmm_ms"] = dt * 1e3
             EXTRA["ell_padding_overhead"] = slots / ne
@@ -167,7 +168,8 @@ def main():
             # roofline: pure weighted row-gather of the same number of
             # padded rows (iteration-dependent indices defeat
             # constant-folding rewrites)
-            slots = sum(b.nbr.size for b in gb.device.ell)
+            from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+            slots = sum(b.nbr.size for b, _ in iter_buckets_sliced(gb.device))
             idx = jnp.asarray(rng.integers(0, g.nv, slots).astype(np.int32))
             wg = jnp.asarray(rng.standard_normal(slots).astype(np.float32))
 

@@ -21,7 +21,7 @@ def bc_single_source(g: DeviceGraph, source: int) -> jnp.ndarray:
     """Dependency contributions of one source (Brandes)."""
     nv = g.nv
     src, dst = g.edge_src, g.col_idx
-    pull = bool(g.ell) or g.seg_ell is not None
+    pull = g.has_ell_layout
 
     # ---- forward: depths + shortest-path counts -------------------------
     # pull mode: reach[v] = sum of sigma over frontier neighbors, a dense

@@ -44,7 +44,7 @@ def connected_components(g: DeviceGraph, *, max_iter: int | None = None) -> jnp.
         _c, changed, it = state
         return changed & (it < max_iter)
 
-    pull = bool(g.ell) or g.seg_ell is not None
+    pull = g.has_ell_layout
 
     def body(state):
         comp, _, it = state

@@ -20,7 +20,7 @@ def k_core(g: DeviceGraph) -> jnp.ndarray:
     """Coreness of every vertex (matches transforms.k_core_decomposition)."""
     nv = g.nv
     src, dst = g.edge_src, g.col_idx
-    pull = bool(g.ell) or g.seg_ell is not None
+    pull = g.has_ell_layout
 
     def live_degrees(alive):
         if pull:

@@ -43,7 +43,7 @@ def pagerank(
         _s, err, it = state
         return (err >= epsilon) & (it < max_iter)
 
-    pull = bool(rg.ell) or rg.seg_ell is not None
+    pull = rg.has_ell_layout
 
     def body(state):
         scores, _, it = state

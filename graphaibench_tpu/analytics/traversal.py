@@ -27,7 +27,7 @@ from graphaibench_tpu.ops.segment import (
 
 
 def _has_buckets(g: DeviceGraph) -> bool:
-    return bool(g.ell) or g.seg_ell is not None
+    return g.has_ell_layout
 
 
 @jax.jit

@@ -164,7 +164,8 @@ def gat_layer_fwd(p, dg: DeviceGraph, edge_w, x, *, act, cfg, train, key,
         train and cfg.score_drop > 0.0 and key is not None)
     from graphaibench_tpu.ops.spmm import _pick_impl
 
-    if dg.ell and not needs_scores and _pick_impl(dg, cfg.spmm_impl) == "ell":
+    if (dg.has_ell_layout and not needs_scores
+            and _pick_impl(dg, cfg.spmm_impl) == "ell"):
         # fused softmax+aggregation (no per-edge score materialization)
         if trivial_w:
             # v2: logits computed inside the bucket passes; the (ne,)

@@ -111,6 +111,13 @@ class DeviceGraph:
     def has_transpose(self) -> bool:
         return self.trans_perm is not None
 
+    @property
+    def has_ell_layout(self) -> bool:
+        """True when a bucketed layout exists (plain ELL or column-
+        segmented) — the gate for every streaming bucket-pass op. At
+        scale the device graph carries ONLY the segmented layout."""
+        return bool(self.ell) or self.seg_ell is not None
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -344,17 +351,23 @@ def to_device_graph(
 
     ``seg_ell=None`` enables the column-segmented layout automatically
     for graphs above SEG_ELL_MIN_NV vertices (where whole-table gathers
-    fall off the fast window)."""
+    fall off the fast window). When the segmented layout is built, the
+    plain ELL layout is NOT: every vertex-gathering op prefers seg-ELL
+    (``iter_buckets_sliced``) and row reductions flatten the segment
+    buckets (``all_buckets``), so a second copy of the slot arrays would
+    only burn HBM — ~1 GB of (nbr, edge_id) int32 pairs at the
+    products-shaped scale (2M v / 103M e, 1.2x pad)."""
     assert g.ne < 2**31, "per-shard edge count must fit int32; partition first"
     src, dst = g.coo()
     trans = (
         jnp.asarray(T.transpose_edge_permutation(g)) if with_transpose else None
     )
-    ell = tuple(build_ell_buckets(g, ell_split)) if with_ell else ()
     if seg_ell is None:
         seg_ell = with_ell and g.nv >= SEG_ELL_MIN_NV
     seg = build_seg_ell(g, split=ell_split) if (seg_ell and with_ell and
                                                 g.ne > 0) else None
+    ell = tuple(build_ell_buckets(g, ell_split)) if (with_ell and
+                                                     seg is None) else ()
     return DeviceGraph(
         row_ptr=jnp.asarray(g.row_ptr.astype(np.int32)),
         col_idx=jnp.asarray(dst),

@@ -41,7 +41,7 @@ def segment_softmax(g: DeviceGraph, scores: jnp.ndarray) -> jnp.ndarray:
     gradient-stopped (softmax is shift-invariant, and autodiff through a
     scatter-max transpose is pure waste)."""
     seg = g.edge_src
-    use_ell = bool(g.ell)
+    use_ell = g.has_ell_layout
     if use_ell:
         row_max = _row_reduce_ell(g, scores, "max")
     else:

@@ -158,7 +158,7 @@ def _pick_impl(g: DeviceGraph, impl: str) -> str:
         return impl
     if g.nv <= 4096:
         return "dense"
-    return "ell" if g.ell else "coo"
+    return "ell" if g.has_ell_layout else "coo"
 
 
 def _zero_cotangent(g: DeviceGraph):
@@ -281,7 +281,7 @@ def _sddmm_add_fwd(g, sa, sb):
 
 
 def _sddmm_add_bwd(g, ct):
-    if g.ell:
+    if g.has_ell_layout:
         from graphaibench_tpu.ops.segment import _row_reduce_ell
 
         dsa = _row_reduce_ell(g, ct, "sum")

@@ -551,3 +551,90 @@ def test_model_packed_weights_end_to_end():
     l1, _ = m_packed.train_epoch()
     l2, _ = m_raw.train_epoch()
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+
+
+def test_seg_only_layout_end_to_end():
+    """At scale ``to_device_graph`` builds ONLY the column-segmented
+    layout (plain ELL skipped — it would be a redundant ~1 GB copy at
+    products scale). Every bucket-pass op must route and match the
+    plain layout: auto SpMM (fwd + grads), segment_softmax, the
+    sddmm_add adjoint, the GAT layer gate, and neighbor_reduce (the
+    pull-mode frontier primitive)."""
+    import dataclasses as _dc
+
+    from graphaibench_tpu.graph import transforms as T2
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import build_seg_ell
+    from graphaibench_tpu.ops.segment import neighbor_reduce
+
+    g = T2.add_selfloop(rmat(13, 8, seed=5))      # 8192 v > dense cutoff
+    dg_plain = to_device_graph(g, seg_ell=False)
+    dg_seg = to_device_graph(g, seg_ell=True)
+    assert dg_seg.ell == () and dg_seg.seg_ell is not None
+    assert dg_seg.has_ell_layout
+    # force several segments (8192 rows in one 2048-row slice each)
+    dg_seg = _dc.replace(dg_seg, seg_ell=build_seg_ell(g, seg_rows=2048))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.nv, 24)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+
+    # auto strategy picks "ell" on the seg-only graph, values + grads
+    from graphaibench_tpu.ops.spmm import _pick_impl
+    assert _pick_impl(dg_seg, "auto") == "ell"
+    ref = spmm(dg_plain, w, x, "ell")
+    np.testing.assert_allclose(np.asarray(spmm(dg_seg, w, x)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+    gx_ref = jax.grad(lambda xx: spmm(dg_plain, w, xx, "ell").sum())(x)
+    gx_seg = jax.grad(lambda xx: spmm(dg_seg, w, xx).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_seg), np.asarray(gx_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # segment_softmax (row reductions flatten the segment buckets)
+    logits = jnp.asarray(rng.standard_normal(g.ne).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(segment_softmax(dg_seg, logits)),
+        np.asarray(segment_softmax(dg_plain, logits)),
+        rtol=2e-5, atol=2e-6)
+
+    # sddmm_add adjoint routes through the ELL row reduction
+    sa = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    sb = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    for dgi in (dg_plain, dg_seg):
+        gsa = jax.grad(lambda a: sddmm_add(dgi, a, sb).sum())(sa)
+        if dgi is dg_plain:
+            gsa_ref = gsa
+    np.testing.assert_allclose(np.asarray(gsa), np.asarray(gsa_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # neighbor_reduce (pull-mode analytics at scale see seg-only graphs)
+    vals = jnp.asarray(rng.standard_normal(g.nv).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(neighbor_reduce(dg_seg, vals, "min")),
+        np.asarray(neighbor_reduce(dg_plain, vals, "min")),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_seg_only_gat_layer_matches_plain():
+    """The GAT layer gate accepts the seg-only layout and the fused v2
+    path matches the plain-ELL model output."""
+    from graphaibench_tpu.graph import transforms as T2
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.nn.layers import ModelConfig, gat_layer_fwd, init_params
+
+    g = T2.add_selfloop(rmat(13, 8, seed=7))
+    dg_plain = to_device_graph(g, seg_ell=False)
+    dg_seg = to_device_graph(g, seg_ell=True)
+    assert dg_seg.ell == ()
+    cfg = ModelConfig(arch="gat", num_layers=2, dim_init=16, dim_hid=8,
+                      num_cls=4, lr=0.01)
+    p0 = init_params(cfg)["gconv"][0]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.nv, 16)).astype(np.float32))
+    ew = jnp.ones(g.ne, jnp.float32)
+    out_p = gat_layer_fwd(p0, dg_plain, ew, x, act=True, cfg=cfg,
+                          train=False, key=None, trivial_w=True)
+    out_s = gat_layer_fwd(p0, dg_seg, ew, x, act=True, cfg=cfg,
+                          train=False, key=None, trivial_w=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               rtol=2e-5, atol=2e-5)

@@ -70,6 +70,17 @@ def main():
         dt_h, depth_h = timed(lambda: bfs_frontier(dg, 0))
         results["bfs_hybrid_s"] = round(dt_h, 4)
         assert np.array_equal(np.asarray(depth_h), np.asarray(depth))
+        # layout ablation: frontier state is <=8 B/row, so the gather
+        # table sits in the fast window at ANY nv — column segmenting
+        # can only fragment the sweep stages here. Measure, then pin
+        # the analytics layout choice on data.
+        if dg.seg_ell is not None:
+            dg_plain = to_device_graph(g, with_transpose=False,
+                                       seg_ell=False)
+            dt_p, depth_p = timed(lambda: bfs(dg_plain, 0))
+            results["bfs_plainell_s"] = round(dt_p, 4)
+            assert np.array_equal(np.asarray(depth_p), np.asarray(depth))
+            del dg_plain
     if "sssp" in which:
         import jax.numpy as jnp
 
