@@ -80,6 +80,9 @@ def _init_backend(retries: int | None = None, backoff_s: float | None = None):
             devs = jax.devices()
             print(f"[bench] backend up: {devs[0].platform} x{len(devs)}",
                   file=sys.stderr)
+            # a transient failure followed by a successful retry is a
+            # healthy run — don't leave a stale errors entry
+            ERRORS.pop("backend_init", None)
             return True
         except Exception as e:  # noqa: BLE001
             ERRORS["backend_init"] = f"{type(e).__name__}: {e}"[:300]
@@ -203,7 +206,10 @@ def main():
         import gc
 
         del gb, ds
-        g20 = x20 = ds20 = None
+        # every big object is cleared AFTER its section whether or not
+        # the section threw — a failed body's partially-built buffers
+        # must not cascade the OOM into the later sections
+        g20 = x20 = ds20 = gb20 = m20 = m20g = None
         gc.collect()
 
         with _section("rmat20_spmm") as chk:
@@ -216,27 +222,30 @@ def main():
                 lambda i, v: spmm_ell(gb20.device, gb20.edge_w_agg, v), x20, 5)
             EXTRA["rmat20_spmm_ms"] = dt20 * 1e3
             EXTRA["rmat20_spmm_edges_per_s"] = g20.ne / dt20
-            del gb20
-            gc.collect()
+        gb20 = None
+        gc.collect()
 
         with _section("rmat20_gcn_epoch") as chk:
             chk()
             ds20 = make_ds(g20, x20)
-            del x20
+            x20 = None
             gc.collect()
             m20 = Model(ModelConfig(arch="gcn", num_layers=2, dim_init=feat,
                                     dim_hid=128, num_cls=16, lr=0.01), ds20)
             EXTRA["rmat20_gcn_epoch_s"] = _timed_epochs(m20, 3)
-            del m20
-            gc.collect()
+        m20 = x20 = None
+        gc.collect()
 
         with _section("rmat20_gat_epoch") as chk:
             chk()
+            if ds20 is None:
+                raise RuntimeError(
+                    "rmat20 dataset unavailable (gcn section failed)")
             m20g = Model(ModelConfig(arch="gat", num_layers=2, dim_init=feat,
                                      dim_hid=128, num_cls=16, lr=0.01), ds20)
             EXTRA["rmat20_gat_epoch_s"] = _timed_epochs(m20g, 3)
-            del m20g
-            gc.collect()
+        m20g = None
+        gc.collect()
 
     value = headline["edges_per_s"]
     sol = headline["sol_edges_per_s"]

@@ -122,6 +122,10 @@ def connected_components_afforest(
 
     if nv == 0:
         return np.empty(0, np.int32)
+    if ne == 0:
+        # edgeless: identity labels (ci is empty, so the neighbor-table
+        # gather below would index out of bounds)
+        return np.arange(nv, dtype=np.int32)
 
     # phase 1: first-k neighbor table, (nv, rounds), self-padded
     k = neighbor_rounds

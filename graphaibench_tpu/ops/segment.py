@@ -83,19 +83,27 @@ def _ident(kind: str, dtype):
     return {"max": info.min, "min": info.max, "sum": 0}[kind]
 
 
+def _pad_edge_vals(edge_vals: jnp.ndarray) -> jnp.ndarray:
+    """Append the pad-slot sentinel value. Pad slots are overwritten
+    with the combine identity AFTER the edge-value combine
+    (``neighbor_reduce``'s edge_id==ne mask), so any finite sentinel
+    works; 0 keeps the combine arithmetic NaN-free for +/*."""
+    return jnp.concatenate([edge_vals, jnp.zeros((1,), edge_vals.dtype)])
+
+
 def pack_neighbor_edge_vals(g: DeviceGraph, edge_vals: jnp.ndarray,
-                            kind: str) -> tuple:
+                            kind: str = "min") -> tuple:
     """Pre-gather per-edge values into the ELL slot layout, one (R, W)
-    array per bucket (pad slots get the combine identity). Passing the
-    result as ``neighbor_reduce``'s ``edge_vals`` skips the per-slot
-    edge-id scalar gather on EVERY call — for fixpoint solvers (SSSP)
-    that gather is loop-invariant and this hoists it explicitly instead
-    of trusting XLA's while-loop LICM with a multi-MB gather."""
+    array per bucket. Passing the result as ``neighbor_reduce``'s
+    ``edge_vals`` skips the per-slot edge-id scalar gather on EVERY
+    call — for fixpoint solvers (SSSP) that gather is loop-invariant
+    and this hoists it explicitly instead of trusting XLA's while-loop
+    LICM with a multi-MB gather. ``kind`` is accepted for call-site
+    symmetry with ``neighbor_reduce`` but does not affect the packing
+    (pad slots are masked to the combine identity after the combine)."""
     from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
 
-    ev_ident = 0 if kind != "sum" else _ident("sum", edge_vals.dtype)
-    ev_pad = jnp.concatenate(
-        [edge_vals, jnp.full((1,), ev_ident, edge_vals.dtype)])
+    ev_pad = _pad_edge_vals(edge_vals)
     return tuple(ev_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
 
 
@@ -122,9 +130,7 @@ def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
     out = jnp.full((g.nv,), ident, vals.dtype)
     packed = isinstance(edge_vals, tuple)
     if edge_vals is not None and not packed:
-        ev_ident = 0 if kind != "sum" else _ident("sum", edge_vals.dtype)
-        ev_pad = jnp.concatenate(
-            [edge_vals, jnp.full((1,), ev_ident, edge_vals.dtype)])
+        ev_pad = _pad_edge_vals(edge_vals)
     from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
 
     for i, (b, (lo, hi)) in enumerate(iter_buckets_sliced(g)):

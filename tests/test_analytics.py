@@ -190,6 +190,18 @@ def test_cc_afforest_rmat():
                                   verifiers.cc_serial(g))
 
 
+def test_cc_afforest_edgeless():
+    """nv>0, ne==0: trivially symmetric, so the CLI routes it into the
+    afforest branch — must return identity labels, not IndexError on
+    the empty col_idx (round-3 review finding)."""
+    from graphaibench_tpu.analytics import connected_components_afforest
+    from graphaibench_tpu.graph.csr import from_edges
+
+    g = from_edges([], [], 7)
+    np.testing.assert_array_equal(connected_components_afforest(g),
+                                  np.arange(7, dtype=np.int32))
+
+
 def test_cc_afforest_through_giant():
     """Two low-id fringe chains joined ONLY via the giant component whose
     ids are all larger: a skip-the-giant scheme that freezes the giant

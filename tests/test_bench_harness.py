@@ -56,3 +56,15 @@ def test_dead_backend_still_emits_record():
     assert "backend_init" in rec["errors"]
     # two init attempts were made
     assert p.stderr.count("backend init attempt") == 2
+
+
+def test_rmat20_gcn_fault_isolates_and_explains_gat():
+    """A crash while building the rmat20 dataset must not cascade: the
+    spmm section's numbers survive, and the gat section reports the
+    explicit dataset-unavailable error instead of an opaque one."""
+    rec, _ = _run_bench({"GAB_BENCH_FAULT": "rmat20_gcn_epoch"})
+    assert rec["value"] is not None
+    assert rec["extra"]["rmat20_spmm_ms"] > 0
+    assert "rmat20_gcn_epoch_s" not in rec["extra"]
+    assert "injected fault" in rec["errors"]["rmat20_gcn_epoch"]
+    assert "dataset unavailable" in rec["errors"]["rmat20_gat_epoch"]

@@ -66,6 +66,7 @@ def main():
     for arch in ("gcn", "sage"):
         # each section guarded: an OOM in one arch must not erase the
         # other sections' records (bench.py hardening pattern)
+        m = None
         try:
             cfg = ModelConfig(arch=arch, num_layers=2, dim_init=feat,
                               dim_hid=hid, num_cls=classes, lr=0.01)
@@ -76,11 +77,14 @@ def main():
             results[f"{arch}_epoch_s"] = (time.perf_counter() - t0) / epochs
             print(f"  {arch}: {results[f'{arch}_epoch_s']:.2f} s/epoch",
                   flush=True)
-            del m
         except Exception as e:  # noqa: BLE001
             results[f"{arch}_error"] = f"{type(e).__name__}: {e}"[:300]
             print(f"  {arch} FAILED: {results[f'{arch}_error']}", flush=True)
-        gc.collect()
+        finally:
+            # drop the model's device buffers even when the section
+            # failed, or the next arch inherits the OOM
+            m = None
+            gc.collect()
 
     # sharded trainer at P=1 (the production multi-chip path on one
     # real chip; <1.0 expected per BASELINE round-2 measurements)
