@@ -94,7 +94,15 @@ def transpose_edge_permutation(g: CSRGraph) -> np.ndarray:
     for the GAT adjoint: scores_T = scores[p]."""
     src, dst = g.coo()
     # sort edges by (dst, src): that ordering is exactly the CSR order of
-    # the transposed graph (adjacency lists sorted when g's are sorted)
+    # the transposed graph (adjacency lists sorted when g's are sorted).
+    # src is CSR-expanded (nondecreasing), so a STABLE sort by dst alone
+    # gives (dst, src) order — the native O(ne) counting sort does it in
+    # sub-second at rmat20 where np.lexsort costs ~9.4 s.
+    from graphaibench_tpu import native
+
+    perm = native.stable_key_sort(dst, g.nv)
+    if perm is not None:
+        return perm
     return np.lexsort((src, dst)).astype(np.int32)
 
 

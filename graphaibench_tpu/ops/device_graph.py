@@ -309,32 +309,64 @@ SEG_ROWS = 1 << 17
 SEG_ELL_MIN_NV = 1 << 19
 
 
+def _pack_segment(es, ed, eid, ne, split, widths):
+    """Pack one column segment's (src, local-dst, edge-id) triples —
+    already in CSR (src-major) order — into ELL buckets."""
+    uniq, counts = np.unique(es, return_counts=True)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    vr_t, vr_s, vr_l = _virtual_rows(uniq.astype(np.int32), counts,
+                                     starts, split)
+    return tuple(_pack_buckets(vr_t, vr_s, vr_l, ed, eid, ne, widths))
+
+
 def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
                   split: Optional[int] = None) -> SegmentedEll:
     """Column-segmented ELL build: edges grouped by neighbor range,
-    neighbor ids reindexed to the local slice."""
+    neighbor ids reindexed to the local slice.
+
+    The partition is ONE stable counting sort by segment id (native
+    O(ne); stability keeps CSR order within each segment) instead of a
+    boolean mask + nonzero pass per segment (O(nseg * ne)). Measured at
+    rmat20 (62M e, 8 segments) the total build is pack-dominated (~6 s
+    either way); the sort's O(ne) partition pays off as nseg grows
+    (products scale: 16+ segments)."""
     split = split or ELL_SPLIT
     widths = _widths_for_split(split)
     src, dst = g.coo()
     ne = g.ne
-    bounds, segs = [], []
-    for lo in range(0, g.nv, seg_rows):
-        hi = min(lo + seg_rows, g.nv)
-        sel = (dst >= lo) & (dst < hi)
-        eid = np.nonzero(sel)[0]
-        if len(eid) == 0:
-            bounds.append((lo, hi))
-            segs.append(())
-            continue
-        es, ed = src[eid], (dst[eid] - lo)
-        # CSR order is preserved by the mask, so es is already grouped
-        uniq, counts = np.unique(es, return_counts=True)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        vr_t, vr_s, vr_l = _virtual_rows(uniq.astype(np.int32), counts,
-                                         starts, split)
-        segs.append(tuple(_pack_buckets(vr_t, vr_s, vr_l, ed, eid, ne,
-                                        widths)))
-        bounds.append((lo, hi))
+    nseg = -(-g.nv // seg_rows) if g.nv else 0
+    bounds = [(lo, min(lo + seg_rows, g.nv))
+              for lo in range(0, g.nv, seg_rows)]
+
+    from graphaibench_tpu import native
+
+    perm = None
+    if ne:
+        # dst is int32 (< nv <= 2^31), so int32 floor-div is exact and
+        # avoids a 62M-row int64 materialization (~5 s at rmat20)
+        keys = np.asarray(dst, np.int32) // np.int32(seg_rows)
+        perm = native.stable_key_sort(keys, nseg)
+    segs = []
+    if perm is not None:
+        counts = np.bincount(keys, minlength=nseg)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for s, (lo, hi) in enumerate(bounds):
+            eid = perm[starts[s]:starts[s + 1]].astype(np.int64)
+            if len(eid) == 0:
+                segs.append(())
+                continue
+            segs.append(_pack_segment(src[eid], dst[eid] - lo, eid, ne,
+                                      split, widths))
+    else:  # no native toolchain: per-segment mask passes
+        for lo, hi in bounds:
+            sel = (dst >= lo) & (dst < hi)
+            eid = np.nonzero(sel)[0]
+            if len(eid) == 0:
+                segs.append(())
+                continue
+            # CSR order is preserved by the mask, so src stays grouped
+            segs.append(_pack_segment(src[eid], dst[eid] - lo, eid, ne,
+                                      split, widths))
     return SegmentedEll(bounds=tuple(bounds), segs=tuple(segs))
 
 

@@ -72,3 +72,47 @@ def test_saint_native(g):
     assert np.all(np.diff(vs) > 0)
     vs2 = native.saint_sample(g.row_ptr, g.col_idx, tn, 300, 100, 3000, 11)
     np.testing.assert_array_equal(vs, vs2)  # deterministic
+
+
+def test_stable_key_sort_matches_lexsort(g):
+    src, dst = g.coo()
+    perm = native.stable_key_sort(dst, g.nv)
+    np.testing.assert_array_equal(perm, np.lexsort((src, dst)))
+    # tiny edge cases
+    assert len(native.stable_key_sort(np.empty(0, np.int32), 4)) == 0
+    with pytest.raises(ValueError):
+        native.stable_key_sort(np.array([0, 5], np.int32), 4)
+
+
+def test_transpose_perm_native_matches_python(g):
+    from graphaibench_tpu.graph import transforms as T
+
+    src, dst = g.coo()
+    got = T.transpose_edge_permutation(g)
+    np.testing.assert_array_equal(got, np.lexsort((src, dst)))
+
+
+def test_build_seg_ell_native_matches_fallback(g):
+    import graphaibench_tpu.native as nat
+    from graphaibench_tpu.ops.device_graph import build_seg_ell
+
+    a = build_seg_ell(g, seg_rows=100)
+    lib = nat._LIB
+    try:
+        nat._LIB = None
+        nat._TRIED = True  # force the per-segment mask fallback
+        b = build_seg_ell(g, seg_rows=100)
+    finally:
+        nat._LIB = lib
+    assert a.bounds == b.bounds
+    assert len(a.segs) == len(b.segs)
+    for sa, sb in zip(a.segs, b.segs):
+        assert len(sa) == len(sb)
+        for ba, bb in zip(sa, sb):
+            assert ba.width == bb.width
+            np.testing.assert_array_equal(np.asarray(ba.row_ids),
+                                          np.asarray(bb.row_ids))
+            np.testing.assert_array_equal(np.asarray(ba.nbr),
+                                          np.asarray(bb.nbr))
+            np.testing.assert_array_equal(np.asarray(ba.edge_id),
+                                          np.asarray(bb.edge_id))
