@@ -93,6 +93,14 @@ def get_lib():
                                  u64, p_i32]
     lib.stable_key_sort.restype = ctypes.c_int
     lib.stable_key_sort.argtypes = [i64, p_i32, i64, p_i32]
+
+    lib.ell_pack_count.restype = i64
+    lib.ell_pack_count.argtypes = [i64, p_i64, p_i32, ctypes.c_int, i64, p_i64]
+    lib.ell_pack_fill.restype = ctypes.c_int
+    lib.ell_pack_fill.argtypes = [
+        i64, p_i32, p_i64, p_i64, p_i32, ctypes.c_void_p, i64, p_i32,
+        ctypes.c_int, i64, p_i32, p_i32, p_i32, p_i64, p_i64,
+    ]
     _LIB = lib
     return lib
 
@@ -178,6 +186,51 @@ def stable_key_sort(keys: np.ndarray, nkeys: int):
     if rc != 0:  # out-of-range key: caller's contract violated
         raise ValueError("stable_key_sort: key outside [0, nkeys)")
     return perm
+
+
+def ell_pack(targets, starts, counts, col, eid, sentinel: int,
+             widths, split: int):
+    """Pack grouped rows into width-bucketed ELL matrices in one native
+    pass (device_graph._virtual_rows + _pack_buckets semantics): row r
+    supplies ``counts[r]`` entries of ``col``/``eid`` from position
+    ``starts[r]``, split into <=split-wide virtual rows targeting
+    ``targets[r]``. Returns [(width, row_ids, nbr, edge_id), ...] with
+    empty width classes omitted, or None without the toolchain.
+    ``eid=None`` means identity edge ids; pad slots get nbr=0,
+    edge_id=sentinel."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    targets = np.ascontiguousarray(targets, np.int32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    col = np.ascontiguousarray(col, np.int32)
+    w = np.ascontiguousarray(widths, np.int32)
+    eid_ptr = None
+    if eid is not None:
+        eid = np.ascontiguousarray(eid, np.int64)
+        eid_ptr = eid.ctypes.data_as(ctypes.c_void_p)
+    out_counts = np.zeros(len(w), np.int64)
+    total = lib.ell_pack_count(len(counts), counts, w, len(w), int(split),
+                               out_counts)
+    row_off = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+    slot_off = np.concatenate(
+        [[0], np.cumsum(out_counts * w.astype(np.int64))]).astype(np.int64)
+    rows_flat = np.empty(int(total), np.int32)
+    nbr_flat = np.empty(int(slot_off[-1]), np.int32)
+    eid_flat = np.empty(int(slot_off[-1]), np.int32)
+    lib.ell_pack_fill(len(counts), targets, starts, counts, col, eid_ptr,
+                      int(sentinel), w, len(w), int(split), rows_flat,
+                      nbr_flat, eid_flat, row_off, slot_off)
+    out = []
+    for i, wi in enumerate(w):
+        if out_counts[i] == 0:
+            continue
+        out.append((int(wi),
+                    rows_flat[row_off[i]:row_off[i + 1]],
+                    nbr_flat[slot_off[i]:slot_off[i + 1]].reshape(-1, wi),
+                    eid_flat[slot_off[i]:slot_off[i + 1]].reshape(-1, wi)))
+    return out
 
 
 def saint_sample(row_ptr, col_idx, train_nodes, n, m, clip, seed):

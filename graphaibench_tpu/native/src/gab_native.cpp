@@ -577,4 +577,77 @@ int stable_key_sort(int64_t n, const int32_t* keys, int64_t nkeys,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// ELL bucket packing (device_graph._virtual_rows + _pack_buckets in one
+// native pass): split each row into <=split-wide virtual rows, class
+// each virtual row into the smallest width bucket that fits, and write
+// padded (R, W) neighbor/edge-id matrices per bucket.
+//
+// Two-phase: ell_pack_count fills per-width virtual-row counts (the
+// caller allocates flat output buffers from them), ell_pack_fill writes
+// row_ids / nbr / edge_id into those buffers at per-width offsets.
+// Padding: nbr = 0, edge_id = sentinel. eid == nullptr means identity
+// edge ids (the plain-CSR builder). Rows with count 0 are skipped.
+int64_t ell_pack_count(int64_t nrows, const int64_t* counts,
+                       const int32_t* widths, int nw, int64_t split,
+                       int64_t* out_counts /* nw */) {
+  for (int i = 0; i < nw; i++) out_counts[i] = 0;
+  int64_t total = 0;
+#pragma omp parallel
+  {
+    std::vector<int64_t> local(nw, 0);
+#pragma omp for schedule(static) nowait
+    for (int64_t r = 0; r < nrows; r++) {
+      int64_t c = counts[r];
+      if (c <= 0) continue;
+      int64_t nfull = c / split, rem = c % split;
+      local[nw - 1] += nfull;  // full chunks land in the last (==split) class
+      if (rem) {
+        int wi = 0;
+        while (widths[wi] < rem) wi++;
+        local[wi]++;
+      }
+    }
+#pragma omp critical
+    for (int i = 0; i < nw; i++) out_counts[i] += local[i];
+  }
+  for (int i = 0; i < nw; i++) total += out_counts[i];
+  return total;
+}
+
+int ell_pack_fill(int64_t nrows, const int32_t* targets, const int64_t* starts,
+                  const int64_t* counts, const int32_t* col,
+                  const int64_t* eid /* or nullptr */, int64_t sentinel,
+                  const int32_t* widths, int nw, int64_t split,
+                  int32_t* rows_flat, int32_t* nbr_flat, int32_t* eid_flat,
+                  const int64_t* row_off /* nw+1 */,
+                  const int64_t* slot_off /* nw+1 */) {
+  std::vector<int64_t> cur(nw, 0);  // virtual-row cursor per width class
+  for (int64_t r = 0; r < nrows; r++) {
+    int64_t c = counts[r];
+    if (c <= 0) continue;
+    int64_t s = starts[r];
+    for (int64_t off = 0; off < c; off += split) {
+      int64_t l = std::min(split, c - off);
+      int wi = 0;
+      while (widths[wi] < l) wi++;
+      int64_t w = widths[wi];
+      int64_t k = cur[wi]++;
+      rows_flat[row_off[wi] + k] = targets[r];
+      int32_t* nb = nbr_flat + slot_off[wi] + k * w;
+      int32_t* eb = eid_flat + slot_off[wi] + k * w;
+      const int32_t* cp = col + s + off;
+      if (eid) {
+        const int64_t* ep = eid + s + off;
+        for (int64_t j = 0; j < l; j++) { nb[j] = cp[j]; eb[j] = (int32_t)ep[j]; }
+      } else {
+        int64_t base = s + off;
+        for (int64_t j = 0; j < l; j++) { nb[j] = cp[j]; eb[j] = (int32_t)(base + j); }
+      }
+      for (int64_t j = l; j < w; j++) { nb[j] = 0; eb[j] = (int32_t)sentinel; }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -116,3 +116,46 @@ def test_build_seg_ell_native_matches_fallback(g):
                                           np.asarray(bb.nbr))
             np.testing.assert_array_equal(np.asarray(ba.edge_id),
                                           np.asarray(bb.edge_id))
+
+
+def _buckets_equal(a, b):
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        assert ba.width == bb.width
+        np.testing.assert_array_equal(np.asarray(ba.row_ids),
+                                      np.asarray(bb.row_ids))
+        np.testing.assert_array_equal(np.asarray(ba.nbr), np.asarray(bb.nbr))
+        np.testing.assert_array_equal(np.asarray(ba.edge_id),
+                                      np.asarray(bb.edge_id))
+
+
+def test_ell_pack_native_matches_numpy(g):
+    """build_ell_buckets and ell_from_coo route through the native
+    packer — buckets must be bit-identical to the numpy virtual-row
+    path (identity and explicit edge ids, with heavy-row splitting)."""
+    import graphaibench_tpu.native as nat
+    from graphaibench_tpu.ops.device_graph import (
+        build_ell_buckets, ell_from_coo)
+
+    src, dst = g.coo()
+    rng = np.random.default_rng(0)
+    eids = rng.permutation(g.ne).astype(np.int64)
+    shuffle = rng.permutation(g.ne)
+
+    a1 = build_ell_buckets(g, split=8)          # forces heavy-row splits
+    a2 = build_ell_buckets(g)
+    a3 = ell_from_coo(src[shuffle], dst[shuffle], eids[shuffle],
+                      sentinel=g.ne, as_numpy=True)
+    lib = nat._LIB
+    try:
+        nat._LIB = None
+        nat._TRIED = True
+        b1 = build_ell_buckets(g, split=8)
+        b2 = build_ell_buckets(g)
+        b3 = ell_from_coo(src[shuffle], dst[shuffle], eids[shuffle],
+                          sentinel=g.ne, as_numpy=True)
+    finally:
+        nat._LIB = lib
+    _buckets_equal(a1, b1)
+    _buckets_equal(a2, b2)
+    _buckets_equal(a3, b3)
