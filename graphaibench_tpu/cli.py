@@ -269,6 +269,27 @@ def cmd_info(argv: list[str]) -> int:
     return 0
 
 
+def cmd_partition(argv: list[str]) -> int:
+    """``partition <dataset> <num_parts> <out-prefix>`` — write induced
+    1-hop-halo partitions as ``<prefix>-part<i>`` binary CSR dirs (the
+    reference's offline partitioner flow feeding per-PE loads,
+    graph_partition.cc:18-35 + multigpu_nvshmem.cu:13-120)."""
+    if len(argv) != 3:
+        print("usage: partition <dataset> <num_parts> <out-prefix>")
+        return 2
+    from graphaibench_tpu.graph.io import load_graph
+    from graphaibench_tpu.graph.partition import write_partitions
+
+    g = load_graph(resolve_dataset(argv[0]))
+    n = int(argv[1])
+    parts = write_partitions(g, n, argv[2], verbose=True)
+    for i, p in enumerate(parts):
+        print(f"subgraph[{i}]: masters {p.num_masters} "
+              f"local |V| {p.subgraph.nv} |E| {p.subgraph.ne} "
+              f"range [{p.global_range[0]}, {p.global_range[1]})")
+    return 0
+
+
 def main() -> int:
     # honor JAX_PLATFORMS: the installed TPU plugin force-appends its
     # platform, so the env var alone is not enough (same pin as
@@ -278,7 +299,8 @@ def main() -> int:
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if len(sys.argv) < 2:
-        print("usage: graphaibench_tpu.cli <train|analytics|compress|info> ...")
+        print("usage: graphaibench_tpu.cli "
+              "<train|analytics|compress|partition|info> ...")
         return 2
     cmd = sys.argv[1]
     if cmd == "train":
@@ -287,6 +309,8 @@ def main() -> int:
         return cmd_analytics(sys.argv[2:])
     if cmd == "info":
         return cmd_info(sys.argv[2:])
+    if cmd == "partition":
+        return cmd_partition(sys.argv[2:])
     if cmd == "compress":
         from graphaibench_tpu.compress.cli import main as compress_main
 

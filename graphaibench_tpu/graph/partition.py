@@ -5,6 +5,11 @@ include/graph_partition.h:10-63):
 
   edgecut_partition_1d          — contiguous vertex ranges balanced by
                                   edge count (graph_partition.cc:37-67)
+  write_partitions /            — persist/load induced partitions as
+  read_partition                  <prefix>-part<i> binary CSR dirs
+                                  (graph_partition.cc:18-35; the files
+                                  each rank of the reference's NVSHMEM
+                                  flow loads, multigpu_nvshmem.cu:13-120)
   edgecut_induced_partition_1d  — each chunk + its 1-hop halo, locally
                                   reindexed with master ranges
                                   (graph_partition.cc:128-182); the
@@ -82,6 +87,50 @@ def edgecut_induced_partition_1d(
             )
         )
     return parts
+
+
+def write_partitions(g: CSRGraph, num_parts: int, prefix: str,
+                     verbose: bool = False) -> list[InducedPartition]:
+    """Persist the induced 1-D partitions as ``<prefix>-part<i>``
+    binary CSR dirs (graph_partition.cc:18-23 layout) so each host of a
+    multi-host run loads only its own shard — the reference's per-PE
+    partition files. The local->global map, master count, and global
+    range ride in a ``partition.npz`` sidecar (the reference encodes
+    ownership implicitly as ``u / subgraph_size``; the induced local
+    reindex needs the explicit map)."""
+    import os
+
+    from graphaibench_tpu.graph.io import save_graph
+
+    parts = edgecut_induced_partition_1d(g, num_parts)
+    for i, p in enumerate(parts):
+        if verbose:
+            print(f"Writing subgraph[{i}]")
+        d = f"{prefix}-part{i}"
+        save_graph(p.subgraph, d)
+        np.savez(os.path.join(d, "partition.npz"),
+                 local_to_global=p.local_to_global,
+                 num_masters=np.int64(p.num_masters),
+                 global_range=np.asarray(p.global_range, np.int64))
+    return parts
+
+
+def read_partition(prefix: str, i: int) -> InducedPartition:
+    """Load one ``<prefix>-part<i>`` partition
+    (graph_partition.cc:31-35 / Graph(infile+"-part"+i) analog)."""
+    import os
+
+    from graphaibench_tpu.graph.io import load_graph
+
+    d = f"{prefix}-part{i}"
+    sub = load_graph(d)
+    z = np.load(os.path.join(d, "partition.npz"))
+    return InducedPartition(
+        subgraph=sub,
+        local_to_global=z["local_to_global"],
+        num_masters=int(z["num_masters"]),
+        global_range=tuple(int(x) for x in z["global_range"]),
+    )
 
 
 @dataclasses.dataclass

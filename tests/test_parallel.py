@@ -62,6 +62,27 @@ def test_host_partitioners():
     assert sum(len(c) for c in lf) == g.ne
 
 
+def test_partition_file_roundtrip(tmp_path):
+    """write_partitions / read_partition persist the induced partitions
+    in the reference's <prefix>-part<i> binary CSR layout
+    (graph_partition.cc:18-35) and roundtrip exactly."""
+    from graphaibench_tpu.graph.partition import (
+        read_partition,
+        write_partitions,
+    )
+
+    g = uniform_random(300, 900, seed=11)
+    prefix = str(tmp_path / "ur300")
+    parts = write_partitions(g, 3, prefix)
+    for i, p in enumerate(parts):
+        q = read_partition(prefix, i)
+        np.testing.assert_array_equal(q.subgraph.row_ptr, p.subgraph.row_ptr)
+        np.testing.assert_array_equal(q.subgraph.col_idx, p.subgraph.col_idx)
+        np.testing.assert_array_equal(q.local_to_global, p.local_to_global)
+        assert q.num_masters == p.num_masters
+        assert q.global_range == p.global_range
+
+
 @pytest.mark.parametrize("kw", [dict(),                       # ELL + overlap
                                 dict(overlap=False),          # unified ELL
                                 dict(use_ell=False)])         # segment oracle
