@@ -179,8 +179,7 @@ class ShardedTrainer:
     halo_probe: Callable = None
 
 
-def make_sharded_trainer(
-    mesh: Mesh,
+def prepare_trainer_host(
     cfg: ModelConfig,
     sg: ShardedGraph,
     feats: np.ndarray,
@@ -188,11 +187,15 @@ def make_sharded_trainer(
     train_range: tuple[int, int, int],
     train_mask: np.ndarray,
     *,
-    optimizer: str = "adam",
-    axis: str = AXIS,
     use_ell: bool = True,
     overlap: bool = True,
-) -> ShardedTrainer:
+) -> dict:
+    """Everything the sharded trainer ships to devices, as HOST arrays
+    grouped with their scalars — built once. ``make_sharded_trainer``
+    device_puts the whole dict; ``parallel.shard_io.write_trainer_shards``
+    persists per-shard slices so each host of a multi-host run loads
+    only its own shard (the per-PE partition-file flow of the
+    reference's NVSHMEM solver, multigpu_nvshmem.cu:13-120)."""
     begin, end, _count = train_range
     nv, nv_total = sg.nv, sg.padded_nv
 
@@ -203,21 +206,14 @@ def make_sharded_trainer(
     valid_np &= pad_rows(np.asarray(train_mask) != 0, nv_total)
     count = max(int(valid_np.sum()), 1)
 
-    shard_v = NamedSharding(mesh, P(axis))
-    shard_e = NamedSharding(mesh, P(axis))
-    x_d = jax.device_put(x_pad, NamedSharding(mesh, P(axis, None)))
-    lab_d = jax.device_put(lab_pad, shard_v)
-    valid_d = jax.device_put(valid_np, shard_v)
-    graph_arrays = {
-        "edge_src": jax.device_put(jnp.asarray(sg.edge_src), shard_e),
-        "col_idx": jax.device_put(jnp.asarray(sg.col_idx), shard_e),
-        "edge_w": jax.device_put(jnp.asarray(sg.edge_w), shard_e),
-        "edge_valid": jax.device_put(jnp.asarray(sg.edge_valid), shard_e),
-        "send_idx": jax.device_put(jnp.asarray(sg.send_idx),
-                                   NamedSharding(mesh, P(axis, None, None))),
-        "halo_map": jax.device_put(jnp.asarray(sg.halo_map), shard_e),
+    ga = {
+        "edge_src": sg.edge_src,
+        "col_idx": sg.col_idx,
+        "edge_w": sg.edge_w,
+        "edge_valid": sg.edge_valid,
+        "send_idx": sg.send_idx,
+        "halo_map": sg.halo_map,
     }
-    opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
 
     # per-shard ELL layouts (empty ShardEll = fall back to segment ops).
     # GCN/SAGE static-weight aggregation uses the own/halo overlap split
@@ -240,10 +236,65 @@ def make_sharded_trainer(
         ell_host.update(
             se_own=se_own, wp_own=pack_shard_values(se_own, sg.edge_w),
             se_halo=se_halo, wp_halo=pack_shard_values(se_halo, sg.edge_w))
+
+    return dict(x=x_pad, lab=lab_pad, valid=valid_np, ga=ga, ell=ell_host,
+                nv=nv, nv_pad=sg.nv_pad, num_shards=sg.num_shards,
+                begin=begin, end=end, count=count)
+
+
+def make_sharded_trainer(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    sg: ShardedGraph,
+    feats: np.ndarray,
+    labels: np.ndarray,
+    train_range: tuple[int, int, int],
+    train_mask: np.ndarray,
+    *,
+    optimizer: str = "adam",
+    axis: str = AXIS,
+    use_ell: bool = True,
+    overlap: bool = True,
+) -> ShardedTrainer:
+    host = prepare_trainer_host(cfg, sg, feats, labels, train_range,
+                                train_mask, use_ell=use_ell, overlap=overlap)
+
+    def put(a, spec):
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    return trainer_from_host(mesh, cfg, host, put, optimizer=optimizer,
+                             axis=axis)
+
+
+def trainer_from_host(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    host: dict,
+    put: Callable,
+    *,
+    optimizer: str = "adam",
+    axis: str = AXIS,
+) -> ShardedTrainer:
+    """Assemble the jitted trainer from prepared host arrays. ``put``
+    maps (host_array, PartitionSpec) -> device array; the single-process
+    path passes a device_put closure, the multi-host per-shard-file path
+    one built on jax.make_array_from_process_local_data (each process
+    supplies only its own shards)."""
+    nv = host["nv"]
+    begin, end, count = host["begin"], host["end"], host["count"]
+
+    x_d = put(host["x"], P(axis, None))
+    lab_d = put(host["lab"], P(axis))
+    valid_d = put(host["valid"], P(axis))
+    graph_arrays = {
+        k: put(v, P(axis, None, None) if k == "send_idx" else P(axis, None))
+        for k, v in host["ga"].items()
+    }
+    opt = optim.OPTIMIZERS[optimizer](lr=cfg.lr)
+
+    ell_host = host["ell"]
     ell_spec = shard_specs(ell_host, axis)
-    ell_dev = jax.tree.map(
-        lambda a, s: jax.device_put(jnp.asarray(a), NamedSharding(mesh, s)),
-        ell_host, ell_spec)
+    ell_dev = jax.tree.map(lambda a, s: put(a, s), ell_host, ell_spec)
 
     def _strip(ga):
         return {
@@ -348,7 +399,7 @@ def make_sharded_trainer(
         in_specs=(P(axis, None), P(axis, None, None), P(axis, None)),
         out_specs=P(), check_vma=False)
     _halo_jit = jax.jit(halo_sm)
-    probe_w = min(cfg.dim_hid, x_pad.shape[1])   # layer activation width
+    probe_w = min(cfg.dim_hid, host["x"].shape[1])  # layer activation width
 
     def halo_probe():
         t0 = time.perf_counter()

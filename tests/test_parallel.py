@@ -388,3 +388,41 @@ def test_train_cli_sharded_val_acc(monkeypatch, capsys):
     assert [l.split(":")[0] for l in val_lines] == ["Epoch   2", "Epoch   4"]
     acc = float(out.rsplit("Test accuracy:", 1)[1])
     assert 0.0 <= acc <= 1.0
+
+
+def test_trainer_from_shard_files_matches_in_memory(mesh, tmp_path):
+    """write_trainer_shards -> make_sharded_trainer_from_files rebuilds
+    a trainer whose step loss equals the in-memory one exactly (the
+    per-host shard-file flow; single-process path here, the 2-process
+    path in tests/test_multiprocess.py)."""
+    from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
+    from graphaibench_tpu.nn.optim import Adam
+    from graphaibench_tpu.parallel.shard_io import (
+        make_sharded_trainer_from_files,
+        write_trainer_shards,
+    )
+
+    g = rmat(9, 8, seed=0)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=16, dim_hid=16,
+                      num_cls=4, lr=0.02)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, g.nv, g.nv)
+    prepped = prepare_graph(g, cfg.arch)
+    w = aggregation_weights(prepped, cfg.arch)
+    sg = build_sharded_graph(prepped, w, mesh.devices.size)
+
+    prefix = str(tmp_path / "sf")
+    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask)
+    t_mem = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask)
+    t_file, cfg2 = make_sharded_trainer_from_files(mesh, prefix)
+    assert cfg2 == cfg
+
+    params = init_params(cfg)
+    opt = Adam(lr=cfg.lr).init(params)
+    _, _, l_mem = t_mem.train_step(params, opt)
+    _, _, l_file = t_file.train_step(params, opt)
+    np.testing.assert_allclose(np.asarray(l_file), np.asarray(l_mem),
+                               rtol=0, atol=0)

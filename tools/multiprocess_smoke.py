@@ -6,7 +6,15 @@ include/dist.h:29-42), build the host-major pod mesh spanning BOTH
 processes' CPU devices, and run one sharded GNN train step whose
 gradient psum crosses the process boundary.
 
-  python tools/multiprocess_smoke.py <pid> <nproc> <port>
+  python tools/multiprocess_smoke.py <pid> <nproc> <port> [shard-prefix]
+
+With a shard prefix (written beforehand via ``--write-shards``), each
+process ALSO builds a second trainer by loading only ITS OWN shard
+files (parallel/shard_io.py — the per-PE partition-file flow of the
+reference's NVSHMEM solver) and asserts its step loss equals the
+in-memory trainer's.
+
+  python tools/multiprocess_smoke.py --write-shards <prefix> <num_shards>
 
 Launched by tests/test_multiprocess.py; also runnable by hand.
 """
@@ -19,8 +27,48 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _dataset():
+    import numpy as np
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.nn.layers import ModelConfig
+
+    g = rmat(9, 8, seed=0)
+    rng = np.random.default_rng(0)
+    feat, ncls = 16, 4
+    feats = rng.standard_normal((g.nv, feat)).astype(np.float32)
+    labels = rng.integers(0, ncls, g.nv).astype(np.int32)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=feat, dim_hid=16,
+                      num_cls=ncls, lr=0.02)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, g.nv // 2, g.nv // 2)
+    return g, feats, labels, cfg, mask, tr
+
+
+def write_shards(prefix: str, num_shards: int) -> int:
+    """Offline partitioner step (single process, no distributed init)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
+    from graphaibench_tpu.parallel import build_sharded_graph
+    from graphaibench_tpu.parallel.shard_io import write_trainer_shards
+
+    g, feats, labels, cfg, mask, tr = _dataset()
+    prepped = prepare_graph(g, cfg.arch)
+    w = aggregation_weights(prepped, cfg.arch)
+    sg = build_sharded_graph(prepped, w, num_shards)
+    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask)
+    print(f"wrote {num_shards} shard files at {prefix}", flush=True)
+    return 0
+
+
 def main():
+    if sys.argv[1] == "--write-shards":
+        return write_shards(sys.argv[2], int(sys.argv[3]))
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    prefix = sys.argv[4] if len(sys.argv) > 4 else None
     # 2 virtual CPU devices per process -> a 4-device pod mesh
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=2").strip()
@@ -41,8 +89,7 @@ def main():
 
     import numpy as np
 
-    from graphaibench_tpu.graph.generators import rmat
-    from graphaibench_tpu.nn.layers import ModelConfig, init_params
+    from graphaibench_tpu.nn.layers import init_params
     from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
     from graphaibench_tpu.nn.optim import Adam
     from graphaibench_tpu.parallel import build_sharded_graph, make_sharded_trainer
@@ -51,18 +98,10 @@ def main():
     n = mesh.devices.size
     assert n == 2 * nproc, n  # devices from every process present
 
-    g = rmat(9, 8, seed=0)
-    rng = np.random.default_rng(0)
-    feat, ncls = 16, 4
-    feats = rng.standard_normal((g.nv, feat)).astype(np.float32)
-    labels = rng.integers(0, ncls, g.nv).astype(np.int32)
-    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=feat, dim_hid=16,
-                      num_cls=ncls, lr=0.02)
+    g, feats, labels, cfg, mask, tr = _dataset()
     prepped = prepare_graph(g, cfg.arch)
     w = aggregation_weights(prepped, cfg.arch)
     sg = build_sharded_graph(prepped, w, n)
-    mask = np.ones(g.nv, dtype=np.uint8)
-    tr = (0, g.nv // 2, g.nv // 2)
     trainer = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask)
     params = init_params(cfg)
     opt_state = Adam(lr=cfg.lr).init(params)
@@ -70,8 +109,26 @@ def main():
     # loss is replicated across the mesh; fetching it is process-local
     loss = float(jax.device_get(jax.tree.leaves(loss)[0]))
     assert np.isfinite(loss), loss
+
+    loss_f = ""
+    if prefix:
+        # per-host shard loading: this process reads ONLY its own files
+        from graphaibench_tpu.parallel.shard_io import (
+            local_shard_ids,
+            make_sharded_trainer_from_files,
+        )
+
+        ids = local_shard_ids(mesh)
+        assert len(ids) == n // nproc, ids
+        trainer2, cfg2 = make_sharded_trainer_from_files(mesh, prefix)
+        _p2, _o2, loss2 = trainer2.train_step(init_params(cfg2),
+                                              Adam(lr=cfg2.lr).init(params))
+        loss2 = float(jax.device_get(jax.tree.leaves(loss2)[0]))
+        assert abs(loss2 - loss) < 1e-6, (loss2, loss)
+        loss_f = f" fileloss={loss2:.6f}"
+
     print(f"MPSMOKE pid={pid} procs={jax.process_count()} "
-          f"devices={n} loss={loss:.6f}", flush=True)
+          f"devices={n} loss={loss:.6f}{loss_f}", flush=True)
     return 0
 
 
