@@ -168,8 +168,10 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
     prepped = prepare_graph(ds.graph, cfg.arch)
     w = aggregation_weights(prepped, cfg.arch)
     sg = build_sharded_graph(prepped, w, n)
-    trainer = make_sharded_trainer(mesh, cfg, sg, ds.feats, ds.labels,
-                                   ds.train_range, ds.train_mask)
+    trainer = make_sharded_trainer(
+        mesh, cfg, sg, ds.feats, ds.labels, ds.train_range, ds.train_mask,
+        eval_ranges={"val": (ds.val_range, ds.val_mask),
+                     "test": (ds.test_range, ds.test_mask)})
     params = init_params(cfg)
     opt_state = OPTIMIZERS[cfg.optimizer](lr=cfg.lr).init(params)
     import time as _time
@@ -193,10 +195,15 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
         if timers is not None:   # float(loss) above synced the device
             timers.add(utimers.OP_STEP, _time.perf_counter() - ts)
         if epoch % val_interval == 0 and epoch != 0:
-            # same cadence/format as the single-chip Model.train
+            # same cadence/format as the single-chip Model.train; the
+            # in-mesh psum accuracy works multi-host (no global gather)
             te = _time.perf_counter()
-            logits = jnp.asarray(trainer.eval_logits(params))
-            line += f" val_acc {masked_acc(logits, ds.val_range, ds.val_mask):.3f}"
+            if cfg.is_sigmoid:
+                logits = jnp.asarray(trainer.eval_logits(params))
+                va = masked_acc(logits, ds.val_range, ds.val_mask)
+            else:
+                va = trainer.eval_accuracy(params, "val")
+            line += f" val_acc {va:.3f}"
             if timers is not None:
                 timers.add(utimers.OP_EVAL, _time.perf_counter() - te)
         print(line)
@@ -204,8 +211,11 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
     print(f"time per epoch: {dt / max(epochs, 1):.4f} s")
 
     te = _time.perf_counter()
-    logits = jnp.asarray(trainer.eval_logits(params))
-    acc = masked_acc(logits, ds.test_range, ds.test_mask)
+    if cfg.is_sigmoid:
+        logits = jnp.asarray(trainer.eval_logits(params))
+        acc = masked_acc(logits, ds.test_range, ds.test_mask)
+    else:
+        acc = trainer.eval_accuracy(params, "test")
     if timers is not None:
         timers.add(utimers.OP_EVAL, _time.perf_counter() - te)
         # standalone halo all_to_all cost (overlapped in the real step)

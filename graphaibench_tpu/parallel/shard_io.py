@@ -50,6 +50,8 @@ def _slice_host(host: dict, p: int) -> dict:
         valid=np.asarray(host["valid"])[rows],
         ga={k: take(v) for k, v in host["ga"].items()},
         ell=jax.tree.map(take, host["ell"]),
+        eval_masks={k: np.asarray(v)[rows]
+                    for k, v in host["eval_masks"].items()},
     )
 
 
@@ -64,6 +66,7 @@ def write_trainer_shards(
     *,
     use_ell: bool = True,
     overlap: bool = True,
+    eval_ranges: dict | None = None,
 ) -> None:
     """Offline step: prepare the full trainer host state and write
     ``<prefix>-shard<p>.pkl`` per shard. Every file carries the shared
@@ -71,7 +74,7 @@ def write_trainer_shards(
     shards alone."""
     host = prepare_trainer_host(cfg, sg, feats, labels, train_range,
                                 train_mask, use_ell=use_ell,
-                                overlap=overlap)
+                                overlap=overlap, eval_ranges=eval_ranges)
     meta = dict(
         format=_FORMAT,
         cfg=dataclasses.asdict(cfg),
@@ -112,6 +115,9 @@ def load_local_shards(prefix: str, shard_ids: list[int]) -> dict:
         ell=jax.tree.map(
             lambda *leaves: np.concatenate(leaves, axis=0),
             *[r["ell"] for r in recs]),
+        eval_masks={k: np.concatenate([r["eval_masks"][k] for r in recs],
+                                      axis=0)
+                    for k in recs[0]["eval_masks"]},
         **{k: meta[k] for k in ("nv", "nv_pad", "num_shards", "begin",
                                 "end", "count")},
     )

@@ -177,6 +177,11 @@ class ShardedTrainer:
     # production step the collective overlaps interior compute, so this
     # is its standalone (upper-bound) cost, not an additive share.
     halo_probe: Callable = None
+    # (params, which) -> float: masked single-class accuracy computed
+    # IN-MESH (per-shard correct/total counts psum-reduced) — multi-host
+    # safe, unlike eval_logits which fetches a global array. Available
+    # for the names passed via eval_ranges ("val"/"test").
+    eval_accuracy: Callable = None
 
 
 def prepare_trainer_host(
@@ -189,22 +194,34 @@ def prepare_trainer_host(
     *,
     use_ell: bool = True,
     overlap: bool = True,
+    eval_ranges: dict | None = None,
 ) -> dict:
     """Everything the sharded trainer ships to devices, as HOST arrays
     grouped with their scalars — built once. ``make_sharded_trainer``
     device_puts the whole dict; ``parallel.shard_io.write_trainer_shards``
     persists per-shard slices so each host of a multi-host run loads
     only its own shard (the per-PE partition-file flow of the
-    reference's NVSHMEM solver, multigpu_nvshmem.cu:13-120)."""
+    reference's NVSHMEM solver, multigpu_nvshmem.cu:13-120).
+
+    ``eval_ranges`` maps a name (e.g. "val", "test") to a
+    (range, mask) pair; each becomes a padded validity array for the
+    in-mesh psum accuracy (``ShardedTrainer.eval_accuracy``)."""
     begin, end, _count = train_range
     nv, nv_total = sg.nv, sg.padded_nv
 
     x_pad = pad_rows(feats.astype(np.float32), nv_total)
     lab_pad = pad_rows(labels.astype(np.int32), nv_total)
     idx = np.arange(nv_total)
-    valid_np = (idx >= begin) & (idx < end) & (idx < nv)
-    valid_np &= pad_rows(np.asarray(train_mask) != 0, nv_total)
+
+    def _valid(rng_, mask):
+        b, e, _ = rng_
+        v = (idx >= b) & (idx < e) & (idx < nv)
+        return v & pad_rows(np.asarray(mask) != 0, nv_total)
+
+    valid_np = _valid(train_range, train_mask)
     count = max(int(valid_np.sum()), 1)
+    eval_masks = {k: _valid(rng_, m)
+                  for k, (rng_, m) in (eval_ranges or {}).items()}
 
     ga = {
         "edge_src": sg.edge_src,
@@ -238,6 +255,7 @@ def prepare_trainer_host(
             se_halo=se_halo, wp_halo=pack_shard_values(se_halo, sg.edge_w))
 
     return dict(x=x_pad, lab=lab_pad, valid=valid_np, ga=ga, ell=ell_host,
+                eval_masks=eval_masks,
                 nv=nv, nv_pad=sg.nv_pad, num_shards=sg.num_shards,
                 begin=begin, end=end, count=count)
 
@@ -255,9 +273,11 @@ def make_sharded_trainer(
     axis: str = AXIS,
     use_ell: bool = True,
     overlap: bool = True,
+    eval_ranges: dict | None = None,
 ) -> ShardedTrainer:
     host = prepare_trainer_host(cfg, sg, feats, labels, train_range,
-                                train_mask, use_ell=use_ell, overlap=overlap)
+                                train_mask, use_ell=use_ell, overlap=overlap,
+                                eval_ranges=eval_ranges)
 
     def put(a, spec):
         return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
@@ -390,6 +410,33 @@ def trainer_from_host(
     def eval_logits(params):
         return _logits_jit(params, x_d, ell_dev, *ga_args)[:nv]
 
+    # in-mesh masked accuracy: per-shard correct/total counts,
+    # psum-reduced — the replicated scalars are process-local to fetch,
+    # so multi-host eval never gathers global logits
+    def local_counts(params, x_own, lab_own, vmask_own, ell, *ga_flat):
+        ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
+                       "send_idx", "halo_map"), ga_flat))
+        logits = _local_gconv_forward(cfg, params, _strip(ga), x_own,
+                                      axis=axis, ell=strip_shard(ell))
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum(jnp.where(vmask_own, pred == lab_own,
+                                    False).astype(jnp.int32))
+        total = jnp.sum(vmask_own.astype(jnp.int32))
+        return (jax.lax.psum(correct, axis), jax.lax.psum(total, axis))
+
+    counts_sm = jax.shard_map(
+        local_counts, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), ell_spec) + ga_specs,
+        out_specs=(P(), P()), check_vma=False)
+    _counts_jit = jax.jit(counts_sm)
+    eval_mask_dev = {k: put(v, P(axis))
+                     for k, v in host.get("eval_masks", {}).items()}
+
+    def eval_accuracy(params, which: str = "val") -> float:
+        c, t = _counts_jit(params, x_d, lab_d, eval_mask_dev[which],
+                           ell_dev, *ga_args)
+        return float(c) / max(float(t), 1.0)
+
     def local_halo(h_own, send_idx, halo_map):
         halo = halo_exchange(h_own, send_idx[0], halo_map[0], axis=axis)
         return jnp.sum(halo)   # scalar output forces the collective
@@ -409,4 +456,5 @@ def trainer_from_host(
 
     return ShardedTrainer(mesh=mesh, train_step=train_step,
                           eval_logits=eval_logits, nv=nv,
-                          train_steps=train_steps, halo_probe=halo_probe)
+                          train_steps=train_steps, halo_probe=halo_probe,
+                          eval_accuracy=eval_accuracy)

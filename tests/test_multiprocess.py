@@ -46,13 +46,16 @@ def test_two_process_distributed_train_step(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"pid {pid} failed:\n{out}"
-    losses = []
+    losses, accs = [], []
     for out in outs:
         m = re.search(r"MPSMOKE pid=\d+ procs=2 devices=4 loss=([0-9.]+) "
-                      r"fileloss=([0-9.]+)", out)
+                      r"fileloss=([0-9.]+) acc=([0-9.]+)", out)
         assert m, out
         losses.append(float(m.group(1)))
+        accs.append(float(m.group(3)))
         # the shard-file-loaded trainer reproduced the in-memory loss
         assert abs(float(m.group(2)) - float(m.group(1))) < 1e-6, out
-    # the loss is psum-replicated: both processes must report the same
+    # loss and in-mesh accuracy are psum-replicated: both processes
+    # must report the same values
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+    assert abs(accs[0] - accs[1]) < 1e-9, accs

@@ -414,9 +414,12 @@ def test_trainer_from_shard_files_matches_in_memory(mesh, tmp_path):
     w = aggregation_weights(prepped, cfg.arch)
     sg = build_sharded_graph(prepped, w, mesh.devices.size)
 
+    val = ((g.nv // 2, g.nv, g.nv - g.nv // 2), mask)
     prefix = str(tmp_path / "sf")
-    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask)
-    t_mem = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask)
+    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask,
+                         eval_ranges={"val": val})
+    t_mem = make_sharded_trainer(mesh, cfg, sg, feats, labels, tr, mask,
+                                 eval_ranges={"val": val})
     t_file, cfg2 = make_sharded_trainer_from_files(mesh, prefix)
     assert cfg2 == cfg
 
@@ -426,3 +429,14 @@ def test_trainer_from_shard_files_matches_in_memory(mesh, tmp_path):
     _, _, l_file = t_file.train_step(params, opt)
     np.testing.assert_allclose(np.asarray(l_file), np.asarray(l_mem),
                                rtol=0, atol=0)
+
+    # in-mesh psum accuracy == host masked accuracy on gathered logits
+    from graphaibench_tpu.ops import math as gmath
+
+    logits = np.asarray(t_mem.eval_logits(params))
+    idx = np.arange(g.nv)
+    vmask = (idx >= g.nv // 2) & (mask != 0)
+    ref_acc = float(gmath.masked_accuracy_single(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(vmask)))
+    assert abs(t_mem.eval_accuracy(params, "val") - ref_acc) < 1e-9
+    assert abs(t_file.eval_accuracy(params, "val") - ref_acc) < 1e-9

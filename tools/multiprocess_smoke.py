@@ -59,7 +59,9 @@ def write_shards(prefix: str, num_shards: int) -> int:
     prepped = prepare_graph(g, cfg.arch)
     w = aggregation_weights(prepped, cfg.arch)
     sg = build_sharded_graph(prepped, w, num_shards)
-    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask)
+    val = ((g.nv // 2, g.nv, g.nv - g.nv // 2), mask)
+    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask,
+                         eval_ranges={"val": val})
     print(f"wrote {num_shards} shard files at {prefix}", flush=True)
     return 0
 
@@ -121,11 +123,15 @@ def main():
         ids = local_shard_ids(mesh)
         assert len(ids) == n // nproc, ids
         trainer2, cfg2 = make_sharded_trainer_from_files(mesh, prefix)
-        _p2, _o2, loss2 = trainer2.train_step(init_params(cfg2),
-                                              Adam(lr=cfg2.lr).init(params))
+        p2 = init_params(cfg2)
+        _p2, _o2, loss2 = trainer2.train_step(p2, Adam(lr=cfg2.lr).init(params))
         loss2 = float(jax.device_get(jax.tree.leaves(loss2)[0]))
         assert abs(loss2 - loss) < 1e-6, (loss2, loss)
-        loss_f = f" fileloss={loss2:.6f}"
+        # in-mesh psum accuracy: the multi-host-safe eval (no global
+        # logits gather); replicated scalar, identical on every process
+        acc = trainer2.eval_accuracy(p2, "val")
+        assert 0.0 <= acc <= 1.0, acc
+        loss_f = f" fileloss={loss2:.6f} acc={acc:.6f}"
 
     print(f"MPSMOKE pid={pid} procs={jax.process_count()} "
           f"devices={n} loss={loss:.6f}{loss_f}", flush=True)
