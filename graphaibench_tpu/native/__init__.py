@@ -206,6 +206,13 @@ def ell_pack(targets, starts, counts, col, eid, sentinel: int,
     counts = np.ascontiguousarray(counts, np.int64)
     col = np.ascontiguousarray(col, np.int32)
     w = np.ascontiguousarray(widths, np.int32)
+    # the C width-class scan (`while widths[wi] < l`) relies on the last
+    # width covering every chunk length; an uncovered length would walk
+    # past widths[] and corrupt the output buffers
+    if len(w) == 0 or w[-1] < split or np.any(np.diff(w) <= 0):
+        raise ValueError(
+            f"widths must be ascending and end with a value >= split "
+            f"(got widths={w.tolist()}, split={split})")
     eid_ptr = None
     if eid is not None:
         eid = np.ascontiguousarray(eid, np.int64)

@@ -336,6 +336,9 @@ SEG_ELL_MIN_NV = 1 << 19
 def _run_lengths(sorted_keys):
     """(uniq, starts, counts) of an already-sorted key array in O(n) —
     np.unique re-sorts, which at 62M edges costs ~1 s per pass."""
+    if len(sorted_keys) == 0:
+        z = np.empty(0, np.int64)
+        return sorted_keys, z, z
     idx = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
     starts = np.concatenate([[0], idx])
     counts = np.diff(np.concatenate([starts, [len(sorted_keys)]]))

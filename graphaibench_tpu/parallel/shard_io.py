@@ -77,6 +77,11 @@ def write_trainer_shards(
                                 overlap=overlap, eval_ranges=eval_ranges)
     meta = dict(
         format=_FORMAT,
+        # per-write nonce: every shard of one write carries the same
+        # value, so a loader can detect files mixed across generations
+        # (an interrupted rewrite of an existing prefix would otherwise
+        # splice old and new shards with identical shapes)
+        write_id=os.urandom(8).hex(),
         cfg=dataclasses.asdict(cfg),
         nv=host["nv"], nv_pad=host["nv_pad"],
         num_shards=host["num_shards"],
@@ -86,8 +91,10 @@ def write_trainer_shards(
     for p in range(host["num_shards"]):
         rec = _slice_host(host, p)
         rec["meta"] = meta
-        with open(f"{prefix}-shard{p}.pkl", "wb") as f:
+        tmp = f"{prefix}-shard{p}.pkl.tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(rec, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, f"{prefix}-shard{p}.pkl")
 
 
 def local_shard_ids(mesh) -> list[int]:
@@ -98,15 +105,23 @@ def local_shard_ids(mesh) -> list[int]:
             if d.process_index == pid]
 
 
-def load_local_shards(prefix: str, shard_ids: list[int]) -> dict:
+def load_local_shards(prefix: str,
+                      shard_ids: list[int]) -> tuple[dict, dict]:
     """Concatenate the listed shard files into this process's local
-    slab of every trainer host array."""
+    slab of every trainer host array. Returns (host_arrays, meta)."""
     recs = []
     for p in shard_ids:
         with open(f"{prefix}-shard{p}.pkl", "rb") as f:
             recs.append(pickle.load(f))
     meta = recs[0]["meta"]
-    assert meta["format"] == _FORMAT
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"unsupported shard-file format: {meta}")
+    for p, r in zip(shard_ids, recs):
+        if r["meta"] != meta:
+            raise ValueError(
+                f"shard {p} is from a different write generation "
+                f"(write_id {r['meta'].get('write_id')} != "
+                f"{meta.get('write_id')}) — rewrite the prefix")
     cat = lambda key: np.concatenate([r[key] for r in recs], axis=0)
     host = dict(
         x=cat("x"), lab=cat("lab"), valid=cat("valid"),

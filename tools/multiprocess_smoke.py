@@ -124,7 +124,7 @@ def main():
         assert len(ids) == n // nproc, ids
         trainer2, cfg2 = make_sharded_trainer_from_files(mesh, prefix)
         p2 = init_params(cfg2)
-        _p2, _o2, loss2 = trainer2.train_step(p2, Adam(lr=cfg2.lr).init(params))
+        _p2, _o2, loss2 = trainer2.train_step(p2, Adam(lr=cfg2.lr).init(p2))
         loss2 = float(jax.device_get(jax.tree.leaves(loss2)[0]))
         assert abs(loss2 - loss) < 1e-6, (loss2, loss)
         # in-mesh psum accuracy: the multi-host-safe eval (no global
