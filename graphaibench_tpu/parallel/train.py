@@ -14,6 +14,7 @@ the unified extended-table layout).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable
 
@@ -52,29 +53,11 @@ def _local_segment_softmax(edge_src, logits, valid, nv_pad):
     return e / jnp.maximum(denom[edge_src], 1e-30)
 
 
-def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
-                         ell=None):
-    """Per-shard forward of the gconv stack. ``ga`` holds this shard's
-    graph arrays (leading axis already stripped). ``ell`` bundles the
-    stripped per-shard ELL layouts + pre-gathered static weights:
-
-      se / wp           — unified layouts over ALL local edges (gather
-                          from x_ext = concat(own, halo)); the GAT path
-                          and the runtime-weight fallback use these.
-      se_own / wp_own   — owned-edge layouts (gather from x_own only).
-      se_halo / wp_halo — halo-edge layouts (gather from x_halo only).
-
-    With the own/halo split populated, the static-weight aggregation
-    (GCN/SAGE) computes the interior partial sum with NO data dependency
-    on the halo all_to_all, so XLA's latency-hiding scheduler can
-    overlap the collective with the interior gather+reduce — the
-    prefetched-halo replacement for NVSHMEM's mid-kernel remote fetch
-    (bs_warp_vertex_nvshmem.cuh:30-34; SURVEY §7 hard part (c)). The
-    tuned degree-bucketed kernels replace gather+segment_sum/max
-    everywhere (CLAUDE.md: segment scatters are the measured-slow
-    primitive on TPU); ``wp*`` remove the per-slot w[edge_id] scalar
-    gather from the GCN/SAGE aggregation fwd+bwd."""
-    nv_pad = x_own.shape[0]
+def _make_aggregators(ga, ell, nv_pad, axis):
+    """The per-shard aggregation closures shared by the 1-D forward and
+    the tensor-parallel forward (both operate on whatever feature width
+    they are handed — the ELL kernels and the halo all_to_all are
+    feature-width-agnostic)."""
     se, wp = ell["se"], ell["wp"]
     se_own, wp_own = ell["se_own"], ell["wp_own"]
     se_halo, wp_halo = ell["se_halo"], ell["wp_halo"]
@@ -104,6 +87,35 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
             return slot_spmm_packed(nv_pad, se, wp, exchange(h))
         return aggregate_w(exchange(h), ga["edge_w"])
 
+    return exchange, aggregate_w, aggregate
+
+
+def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
+                         ell=None):
+    """Per-shard forward of the gconv stack. ``ga`` holds this shard's
+    graph arrays (leading axis already stripped). ``ell`` bundles the
+    stripped per-shard ELL layouts + pre-gathered static weights:
+
+      se / wp           — unified layouts over ALL local edges (gather
+                          from x_ext = concat(own, halo)); the GAT path
+                          and the runtime-weight fallback use these.
+      se_own / wp_own   — owned-edge layouts (gather from x_own only).
+      se_halo / wp_halo — halo-edge layouts (gather from x_halo only).
+
+    With the own/halo split populated, the static-weight aggregation
+    (GCN/SAGE) computes the interior partial sum with NO data dependency
+    on the halo all_to_all, so XLA's latency-hiding scheduler can
+    overlap the collective with the interior gather+reduce — the
+    prefetched-halo replacement for NVSHMEM's mid-kernel remote fetch
+    (bs_warp_vertex_nvshmem.cuh:30-34; SURVEY §7 hard part (c)). The
+    tuned degree-bucketed kernels replace gather+segment_sum/max
+    everywhere (CLAUDE.md: segment scatters are the measured-slow
+    primitive on TPU); ``wp*`` remove the per-slot w[edge_id] scalar
+    gather from the GCN/SAGE aggregation fwd+bwd."""
+    nv_pad = x_own.shape[0]
+    exchange, aggregate_w, aggregate = _make_aggregators(ga, ell, nv_pad,
+                                                         axis)
+    se = ell["se"]
     h = x_own
     for l, (din, dout, act) in enumerate(cfg.gconv_dims):
         p = params["gconv"][l]
@@ -157,6 +169,74 @@ def _local_gconv_forward(cfg: ModelConfig, params, ga, x_own, *, axis=AXIS,
     if cfg.use_dense:
         h = jnp.dot(h, params["dense"]["W"],
                     precision=jax.lax.Precision.HIGHEST)
+    return h
+
+
+MODEL_AXIS = "model"
+
+
+def _tp_matmul(h_m, w, model_axis, *, scatter):
+    """Megatron-style row-block GEMM for feature-dimension tensor
+    parallelism: ``h_m`` is this model shard's column block (n, F/M) of
+    the activations, ``w`` the full replicated (F, H) weight. Each shard
+    multiplies by its own F/M row block of ``w`` (so weight gradients
+    are block-distinct and a psum over the model axis assembles — never
+    duplicates — them), then the partial sums reduce-scatter over the H
+    columns (scatter=True, H %% M == 0: activations stay column-sharded)
+    or psum to a full replicated output (the classifier head)."""
+    m_i = jax.lax.axis_index(model_axis)
+    blk = w.shape[0] // jax.lax.axis_size(model_axis)
+    w_b = jax.lax.dynamic_slice_in_dim(w, m_i * blk, blk, 0)
+    partial = jnp.dot(h_m, w_b, precision=jax.lax.Precision.HIGHEST)
+    if scatter:
+        return jax.lax.psum_scatter(partial, model_axis,
+                                    scatter_dimension=1, tiled=True)
+    return jax.lax.psum(partial, model_axis)
+
+
+def _local_gconv_forward_tp(cfg: ModelConfig, params, ga, x_own, *,
+                            axis=AXIS, model_axis=MODEL_AXIS, ell=None):
+    """Tensor-parallel per-shard forward (GCN/SAGE): the 2-D
+    (graph x model) mesh shards vertices over ``axis`` (halo exchange,
+    as in the 1-D path) and the FEATURE dimension over ``model_axis``.
+    Activations live column-sharded between layers, so the aggregation
+    gathers, the halo all_to_all bytes, and the GEMM FLOPs all divide
+    by the model-axis size; each GEMM reduce-scatters its partial sums
+    (SURVEY §2.4's optional TP row — the reference has no analog).
+    Requires dim_init and dim_hid divisible by the model-axis size
+    (asserted in make_tp_trainer); the classifier output psums to a
+    replicated full-width logits block for the loss."""
+    nv_pad = x_own.shape[0]
+    _, _, aggregate = _make_aggregators(ga, ell, nv_pad, axis)
+    m_n = jax.lax.axis_size(model_axis)
+    m_i = jax.lax.axis_index(model_axis)
+
+    # entry: take this shard's column block of the (replicated) input
+    blk0 = x_own.shape[1] // m_n
+    h = jax.lax.dynamic_slice_in_dim(x_own, m_i * blk0, blk0, 1)
+    for l, (din, dout, act) in enumerate(cfg.gconv_dims):
+        p = params["gconv"][l]
+        last_gconv = (l == cfg.num_layers - 1) and not cfg.use_dense
+        scatter = not last_gconv            # hidden dims divide m_n
+        if din > dout:
+            t = _tp_matmul(h, p["W_neigh"], model_axis, scatter=scatter)
+            out = aggregate(t)
+        else:
+            t = aggregate(h)
+            out = _tp_matmul(t, p["W_neigh"], model_axis, scatter=scatter)
+        if cfg.arch == "sage":
+            out = out + _tp_matmul(h, p["W_self"], model_axis,
+                                   scatter=scatter)
+        h = jax.nn.relu(out) if act else out
+    if cfg.use_l2norm:
+        # row norms need the full row; h is column-sharded iff the
+        # dense head follows (the last gconv then kept scatter=True)
+        s2 = jnp.sum(h * h, axis=-1, keepdims=True)
+        if cfg.use_dense:
+            s2 = jax.lax.psum(s2, model_axis)
+        h = h / jnp.sqrt(jnp.maximum(s2, 1e-12))
+    if cfg.use_dense:
+        h = _tp_matmul(h, params["dense"]["W"], model_axis, scatter=False)
     return h
 
 
@@ -286,6 +366,47 @@ def make_sharded_trainer(
                              axis=axis)
 
 
+def make_tp_trainer(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    sg: ShardedGraph,
+    feats: np.ndarray,
+    labels: np.ndarray,
+    train_range: tuple[int, int, int],
+    train_mask: np.ndarray,
+    *,
+    optimizer: str = "adam",
+    axis: str = AXIS,
+    model_axis: str = MODEL_AXIS,
+    use_ell: bool = True,
+    overlap: bool = True,
+    eval_ranges: dict | None = None,
+) -> ShardedTrainer:
+    """Tensor-parallel trainer over a 2-D (graph x model) mesh
+    (multihost.hybrid_mesh): vertices shard over ``axis`` exactly like
+    make_sharded_trainer (``sg`` must be built for the GRAPH-axis size),
+    the feature dimension shards over ``model_axis``
+    (_local_gconv_forward_tp). GCN/SAGE only; hidden widths must divide
+    the model-axis size."""
+    assert cfg.arch in ("gcn", "sage"), \
+        "tensor parallelism covers the static-weight archs (gcn/sage)"
+    m_n = dict(zip(mesh.axis_names, mesh.devices.shape))[model_axis]
+    assert sg.num_shards == dict(zip(mesh.axis_names,
+                                     mesh.devices.shape))[axis], \
+        "build_sharded_graph must use the graph-axis size, not n_devices"
+    assert cfg.dim_init % m_n == 0 and cfg.dim_hid % m_n == 0, \
+        f"dim_init/dim_hid must divide the model axis ({m_n})"
+    host = prepare_trainer_host(cfg, sg, feats, labels, train_range,
+                                train_mask, use_ell=use_ell,
+                                overlap=overlap, eval_ranges=eval_ranges)
+
+    def put(a, spec):
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    return trainer_from_host(mesh, cfg, host, put, optimizer=optimizer,
+                             axis=axis, model_axis=model_axis)
+
+
 def trainer_from_host(
     mesh: Mesh,
     cfg: ModelConfig,
@@ -294,14 +415,24 @@ def trainer_from_host(
     *,
     optimizer: str = "adam",
     axis: str = AXIS,
+    model_axis: str | None = None,
 ) -> ShardedTrainer:
     """Assemble the jitted trainer from prepared host arrays. ``put``
     maps (host_array, PartitionSpec) -> device array; the single-process
     path passes a device_put closure, the multi-host per-shard-file path
     one built on jax.make_array_from_process_local_data (each process
-    supplies only its own shards)."""
+    supplies only its own shards).
+
+    With ``model_axis`` set (a second mesh axis), the forward runs the
+    tensor-parallel path (_local_gconv_forward_tp): graph data and
+    features are replicated over the model axis (the specs never name
+    it) and the per-shard function slices its own feature block."""
     nv = host["nv"]
     begin, end, count = host["begin"], host["end"], host["count"]
+    fwd = (_local_gconv_forward if model_axis is None else
+           functools.partial(_local_gconv_forward_tp,
+                             model_axis=model_axis))
+    grad_axes = (axis,) if model_axis is None else (axis, model_axis)
 
     x_d = put(host["x"], P(axis, None))
     lab_d = put(host["lab"], P(axis))
@@ -344,7 +475,7 @@ def trainer_from_host(
         loss, grads = jax.value_and_grad(local_loss)(
             params, x_own, lab_own, valid_own, ga, strip_shard(ell)
         )
-        grads = jax.lax.psum(grads, axis)
+        grads = jax.lax.psum(grads, grad_axes)
         new_params, new_opt = opt.update(grads, opt_state, params)
         return new_params, new_opt, loss * (end - begin) / count
 
@@ -394,8 +525,8 @@ def trainer_from_host(
     def local_logits(params, x_own, ell, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
-        return _local_gconv_forward(cfg, params, _strip(ga), x_own, axis=axis,
-                                    ell=strip_shard(ell))
+        return fwd(cfg, params, _strip(ga), x_own, axis=axis,
+                   ell=strip_shard(ell))
 
     logits_sm = jax.shard_map(
         local_logits,
@@ -416,8 +547,8 @@ def trainer_from_host(
     def local_counts(params, x_own, lab_own, vmask_own, ell, *ga_flat):
         ga = dict(zip(("edge_src", "col_idx", "edge_w", "edge_valid",
                        "send_idx", "halo_map"), ga_flat))
-        logits = _local_gconv_forward(cfg, params, _strip(ga), x_own,
-                                      axis=axis, ell=strip_shard(ell))
+        logits = fwd(cfg, params, _strip(ga), x_own,
+                     axis=axis, ell=strip_shard(ell))
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum(jnp.where(vmask_own, pred == lab_own,
                                     False).astype(jnp.int32))

@@ -440,3 +440,60 @@ def test_trainer_from_shard_files_matches_in_memory(mesh, tmp_path):
         jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(vmask)))
     assert abs(t_mem.eval_accuracy(params, "val") - ref_acc) < 1e-9
     assert abs(t_file.eval_accuracy(params, "val") - ref_acc) < 1e-9
+
+
+@pytest.mark.parametrize("shape,arch", [((2, 4), "gcn"), ((4, 2), "sage"),
+                                        ((2, 4), "sage")])
+def test_tp_trainer_matches_single_device(shape, arch):
+    """Tensor-parallel trainer over a 2-D (graph x model) mesh: loss
+    trajectory and eval logits/accuracy must track the single-device
+    Model (feature dim sharded over the model axis, vertices over the
+    graph axis)."""
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
+    from graphaibench_tpu.nn.optim import Adam
+    from graphaibench_tpu.parallel import MODEL_AXIS, make_tp_trainer
+
+    G, M = shape
+    mesh2 = Mesh(np.array(jax.devices()[:G * M]).reshape(G, M),
+                 (AXIS, MODEL_AXIS))
+    g = uniform_random(240, 700, seed=5)
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    labels = rng.integers(0, 5, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, 120, 120)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=5,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch=arch, num_layers=2, dim_init=16, dim_hid=8,
+                      num_cls=5, lr=0.02)
+    single = Model(cfg, ds)
+
+    prepped = prepare_graph(g, arch)
+    w = aggregation_weights(prepped, arch)
+    sg = build_sharded_graph(prepped, w, G)   # GRAPH-axis shards
+    trainer = make_tp_trainer(mesh2, cfg, sg, feats, labels, tr, mask,
+                              eval_ranges={"val": (tr, mask)})
+
+    params = init_params(cfg)
+    opt_state = Adam(lr=cfg.lr).init(params)
+
+    lg_d = np.asarray(trainer.eval_logits(params))
+    lg_s = np.asarray(single._eval_logits(
+        single.params, single.full.device, single.full.edge_w,
+        single.feats))
+    np.testing.assert_allclose(lg_d, lg_s, rtol=1e-4, atol=1e-5)
+
+    from graphaibench_tpu.ops import math as gmath
+    ref_acc = float(gmath.masked_accuracy_single(
+        jnp.asarray(lg_s), jnp.asarray(labels),
+        jnp.asarray((np.arange(g.nv) < 120) & (mask != 0))))
+    # the oracle divides in f32; the in-mesh count ratio is exact
+    assert abs(trainer.eval_accuracy(params, "val") - ref_acc) < 1e-6
+
+    for step in range(3):
+        s_loss, _ = single.train_epoch()
+        params, opt_state, d_loss = trainer.train_step(params, opt_state)
+        assert abs(s_loss - float(d_loss)) < 2e-4, (step, s_loss,
+                                                    float(d_loss))
