@@ -15,7 +15,9 @@ fixtures are tried.
 vertex-sharded halo-exchange trainer over a mesh of n devices
 (parallel/train.py — the production multi-chip path), keeping the same
 argv. Loss trajectory and test accuracy match the single-chip Model to
-f32 summation-order tolerance.
+f32 summation-order tolerance. ``GAB_TP=<m>`` additionally shards the
+feature dimension over an m-wide model axis (2-D graph x model mesh,
+GCN/SAGE).
 """
 
 from __future__ import annotations
@@ -162,16 +164,32 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
 
     n = len(jax.devices()) if shards == "auto" else int(shards)
     n = max(1, min(n, len(jax.devices())))
-    mesh = Mesh(np.array(jax.devices()[:n]), (AXIS,))
-    print(f"sharded trainer: {n} device(s), vertex-sharded halo exchange")
-
+    # GAB_TP=<m>: also shard the feature dimension over a model axis of
+    # size m (2-D graph x model mesh, parallel/train.py TP path)
+    tp = int(os.environ.get("GAB_TP", "1"))
+    eval_ranges = {"val": (ds.val_range, ds.val_mask),
+                   "test": (ds.test_range, ds.test_mask)}
     prepped = prepare_graph(ds.graph, cfg.arch)
     w = aggregation_weights(prepped, cfg.arch)
-    sg = build_sharded_graph(prepped, w, n)
-    trainer = make_sharded_trainer(
-        mesh, cfg, sg, ds.feats, ds.labels, ds.train_range, ds.train_mask,
-        eval_ranges={"val": (ds.val_range, ds.val_mask),
-                     "test": (ds.test_range, ds.test_mask)})
+    if tp > 1:
+        from graphaibench_tpu.parallel import MODEL_AXIS, make_tp_trainer
+
+        gdim = max(n // tp, 1)
+        mesh = Mesh(np.array(jax.devices()[:gdim * tp]).reshape(gdim, tp),
+                    (AXIS, MODEL_AXIS))
+        print(f"sharded trainer: ({gdim} graph x {tp} model) mesh, "
+              "vertex sharding + feature-dim tensor parallelism")
+        sg = build_sharded_graph(prepped, w, gdim)
+        trainer = make_tp_trainer(mesh, cfg, sg, ds.feats, ds.labels,
+                                  ds.train_range, ds.train_mask,
+                                  eval_ranges=eval_ranges)
+    else:
+        mesh = Mesh(np.array(jax.devices()[:n]), (AXIS,))
+        print(f"sharded trainer: {n} device(s), vertex-sharded halo exchange")
+        sg = build_sharded_graph(prepped, w, n)
+        trainer = make_sharded_trainer(
+            mesh, cfg, sg, ds.feats, ds.labels, ds.train_range,
+            ds.train_mask, eval_ranges=eval_ranges)
     params = init_params(cfg)
     opt_state = OPTIMIZERS[cfg.optimizer](lr=cfg.lr).init(params)
     import time as _time

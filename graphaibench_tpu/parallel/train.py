@@ -177,18 +177,28 @@ MODEL_AXIS = "model"
 
 def _tp_matmul(h_m, w, model_axis, *, scatter):
     """Megatron-style row-block GEMM for feature-dimension tensor
-    parallelism: ``h_m`` is this model shard's column block (n, F/M) of
-    the activations, ``w`` the full replicated (F, H) weight. Each shard
-    multiplies by its own F/M row block of ``w`` (so weight gradients
+    parallelism: ``h_m`` is this model shard's column block (n, ceil(F/M))
+    of the activations, ``w`` the full replicated (F, H) weight. Each
+    shard multiplies by its own row block of ``w`` (so weight gradients
     are block-distinct and a psum over the model axis assembles — never
     duplicates — them), then the partial sums reduce-scatter over the H
-    columns (scatter=True, H %% M == 0: activations stay column-sharded)
-    or psum to a full replicated output (the classifier head)."""
+    columns (scatter=True: activations stay column-sharded) or psum to a
+    full replicated output (the classifier head).
+
+    Ragged dims are handled by zero padding: ``w`` rows pad up to
+    blk*M (zero rows contribute nothing and autodiff slices their grads
+    away), and under scatter the H columns pad up to a multiple of M —
+    the zero tail rides through elementwise ops and multiplies the zero
+    pad rows of the NEXT layer's weight, so the math stays exact."""
+    m_n = jax.lax.axis_size(model_axis)
     m_i = jax.lax.axis_index(model_axis)
-    blk = w.shape[0] // jax.lax.axis_size(model_axis)
-    w_b = jax.lax.dynamic_slice_in_dim(w, m_i * blk, blk, 0)
+    blk = h_m.shape[1]
+    w_p = jnp.pad(w, ((0, blk * m_n - w.shape[0]), (0, 0)))
+    w_b = jax.lax.dynamic_slice_in_dim(w_p, m_i * blk, blk, 0)
     partial = jnp.dot(h_m, w_b, precision=jax.lax.Precision.HIGHEST)
     if scatter:
+        h_pad = -(-w.shape[1] // m_n) * m_n - w.shape[1]
+        partial = jnp.pad(partial, ((0, 0), (0, h_pad)))
         return jax.lax.psum_scatter(partial, model_axis,
                                     scatter_dimension=1, tiled=True)
     return jax.lax.psum(partial, model_axis)
@@ -203,17 +213,18 @@ def _local_gconv_forward_tp(cfg: ModelConfig, params, ga, x_own, *,
     gathers, the halo all_to_all bytes, and the GEMM FLOPs all divide
     by the model-axis size; each GEMM reduce-scatters its partial sums
     (SURVEY §2.4's optional TP row — the reference has no analog).
-    Requires dim_init and dim_hid divisible by the model-axis size
-    (asserted in make_tp_trainer); the classifier output psums to a
-    replicated full-width logits block for the loss."""
+    Ragged dims zero-pad per _tp_matmul; the classifier output psums to
+    a replicated full-width logits block for the loss."""
     nv_pad = x_own.shape[0]
     _, _, aggregate = _make_aggregators(ga, ell, nv_pad, axis)
     m_n = jax.lax.axis_size(model_axis)
     m_i = jax.lax.axis_index(model_axis)
 
-    # entry: take this shard's column block of the (replicated) input
-    blk0 = x_own.shape[1] // m_n
-    h = jax.lax.dynamic_slice_in_dim(x_own, m_i * blk0, blk0, 1)
+    # entry: take this shard's column block of the (replicated) input,
+    # zero-padded so every shard's block has the same static width
+    blk0 = -(-x_own.shape[1] // m_n)
+    x_p = jnp.pad(x_own, ((0, 0), (0, blk0 * m_n - x_own.shape[1])))
+    h = jax.lax.dynamic_slice_in_dim(x_p, m_i * blk0, blk0, 1)
     for l, (din, dout, act) in enumerate(cfg.gconv_dims):
         p = params["gconv"][l]
         last_gconv = (l == cfg.num_layers - 1) and not cfg.use_dense
@@ -386,16 +397,13 @@ def make_tp_trainer(
     (multihost.hybrid_mesh): vertices shard over ``axis`` exactly like
     make_sharded_trainer (``sg`` must be built for the GRAPH-axis size),
     the feature dimension shards over ``model_axis``
-    (_local_gconv_forward_tp). GCN/SAGE only; hidden widths must divide
-    the model-axis size."""
+    (_local_gconv_forward_tp). GCN/SAGE only; ragged feature dims
+    zero-pad per _tp_matmul."""
     assert cfg.arch in ("gcn", "sage"), \
         "tensor parallelism covers the static-weight archs (gcn/sage)"
-    m_n = dict(zip(mesh.axis_names, mesh.devices.shape))[model_axis]
     assert sg.num_shards == dict(zip(mesh.axis_names,
                                      mesh.devices.shape))[axis], \
         "build_sharded_graph must use the graph-axis size, not n_devices"
-    assert cfg.dim_init % m_n == 0 and cfg.dim_hid % m_n == 0, \
-        f"dim_init/dim_hid must divide the model axis ({m_n})"
     host = prepare_trainer_host(cfg, sg, feats, labels, train_range,
                                 train_mask, use_ell=use_ell,
                                 overlap=overlap, eval_ranges=eval_ranges)

@@ -442,9 +442,13 @@ def test_trainer_from_shard_files_matches_in_memory(mesh, tmp_path):
     assert abs(t_file.eval_accuracy(params, "val") - ref_acc) < 1e-9
 
 
-@pytest.mark.parametrize("shape,arch", [((2, 4), "gcn"), ((4, 2), "sage"),
-                                        ((2, 4), "sage")])
-def test_tp_trainer_matches_single_device(shape, arch):
+@pytest.mark.parametrize("shape,arch,dims", [
+    ((2, 4), "gcn", (16, 8)),
+    ((4, 2), "sage", (16, 8)),
+    ((2, 4), "sage", (16, 8)),
+    ((2, 4), "gcn", (18, 7)),    # ragged: neither dim divides M=4
+])
+def test_tp_trainer_matches_single_device(shape, arch, dims):
     """Tensor-parallel trainer over a 2-D (graph x model) mesh: loss
     trajectory and eval logits/accuracy must track the single-device
     Model (feature dim sharded over the model axis, vertices over the
@@ -455,19 +459,20 @@ def test_tp_trainer_matches_single_device(shape, arch):
     from graphaibench_tpu.parallel import MODEL_AXIS, make_tp_trainer
 
     G, M = shape
+    f_in, f_hid = dims
     mesh2 = Mesh(np.array(jax.devices()[:G * M]).reshape(G, M),
                  (AXIS, MODEL_AXIS))
     g = uniform_random(240, 700, seed=5)
     rng = np.random.default_rng(5)
-    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    feats = rng.standard_normal((g.nv, f_in)).astype(np.float32)
     labels = rng.integers(0, 5, g.nv).astype(np.int32)
     mask = np.ones(g.nv, dtype=np.uint8)
     tr = (0, 120, 120)
     ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
                     val_mask=mask, test_mask=mask, num_classes=5,
                     train_range=tr, val_range=tr, test_range=tr)
-    cfg = ModelConfig(arch=arch, num_layers=2, dim_init=16, dim_hid=8,
-                      num_cls=5, lr=0.02)
+    cfg = ModelConfig(arch=arch, num_layers=2, dim_init=f_in,
+                      dim_hid=f_hid, num_cls=5, lr=0.02)
     single = Model(cfg, ds)
 
     prepped = prepare_graph(g, arch)
