@@ -145,14 +145,28 @@ def make_sharded_trainer_from_files(
     *,
     optimizer: str = "adam",
     axis: str = AXIS,
+    model_axis: str | None = None,
 ) -> tuple[ShardedTrainer, ModelConfig]:
     """Build the sharded trainer with each process reading ONLY the
     shard files its mesh devices own — no process ever materializes the
-    global graph or feature matrix."""
-    ids = local_shard_ids(mesh)
+    global graph or feature matrix. With ``model_axis`` set (2-D mesh),
+    the tensor-parallel forward runs; shard files are per GRAPH shard
+    (replicated over the model axis), so a process's shard ids are the
+    distinct graph coordinates of its devices."""
+    if model_axis is None:
+        ids = local_shard_ids(mesh)
+        graph_dim = mesh.devices.size
+    else:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        graph_dim = axes[axis]
+        g_pos = np.argmax(np.asarray(mesh.axis_names) == axis)
+        pid = jax.process_index()
+        mine = [idx[g_pos] for idx, d in np.ndenumerate(mesh.devices)
+                if d.process_index == pid]
+        ids = sorted(set(int(i) for i in mine))
     host, meta = load_local_shards(prefix, ids)
     P_total = meta["num_shards"]
-    assert P_total == mesh.devices.size, (P_total, mesh.devices.size)
+    assert P_total == graph_dim, (P_total, graph_dim)
     cfg = ModelConfig(**meta["cfg"])
     scale = P_total // len(ids)
 
@@ -168,5 +182,5 @@ def make_sharded_trainer_from_files(
                                                       gshape)
 
     trainer = trainer_from_host(mesh, cfg, host, put, optimizer=optimizer,
-                                axis=axis)
+                                axis=axis, model_axis=model_axis)
     return trainer, cfg

@@ -502,3 +502,44 @@ def test_tp_trainer_matches_single_device(shape, arch, dims):
         params, opt_state, d_loss = trainer.train_step(params, opt_state)
         assert abs(s_loss - float(d_loss)) < 2e-4, (step, s_loss,
                                                     float(d_loss))
+
+
+def test_tp_trainer_from_shard_files(tmp_path):
+    """The shard-file path drives the tensor-parallel trainer too: a
+    (4 graph x 2 model) mesh built from per-shard files must reproduce
+    the in-memory TP trainer's step loss exactly."""
+    from graphaibench_tpu.nn.model import aggregation_weights, prepare_graph
+    from graphaibench_tpu.nn.optim import Adam
+    from graphaibench_tpu.parallel import MODEL_AXIS, make_tp_trainer
+    from graphaibench_tpu.parallel.shard_io import (
+        make_sharded_trainer_from_files,
+        write_trainer_shards,
+    )
+
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                 (AXIS, MODEL_AXIS))
+    g = uniform_random(240, 700, seed=5)
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    labels = rng.integers(0, 5, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, 120, 120)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=16, dim_hid=8,
+                      num_cls=5, lr=0.02)
+    prepped = prepare_graph(g, cfg.arch)
+    w = aggregation_weights(prepped, cfg.arch)
+    sg = build_sharded_graph(prepped, w, 4)           # GRAPH-axis shards
+
+    prefix = str(tmp_path / "tp")
+    write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask)
+    t_mem = make_tp_trainer(mesh2, cfg, sg, feats, labels, tr, mask)
+    t_file, cfg2 = make_sharded_trainer_from_files(
+        mesh2, prefix, model_axis=MODEL_AXIS)
+    assert cfg2 == cfg
+
+    params = init_params(cfg)
+    opt = Adam(lr=cfg.lr).init(params)
+    _, _, l_mem = t_mem.train_step(params, opt)
+    _, _, l_file = t_file.train_step(params, opt)
+    np.testing.assert_allclose(np.asarray(l_file), np.asarray(l_mem),
+                               rtol=0, atol=0)
