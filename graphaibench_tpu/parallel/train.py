@@ -204,6 +204,41 @@ def _tp_matmul(h_m, w, model_axis, *, scatter):
     return jax.lax.psum(partial, model_axis)
 
 
+def _sum_cotangent(model_axis):
+    """Megatron's "f" op: identity forward, psum backward. Inserted
+    after a value that is REPLICATED over the model axis but whose
+    downstream uses differ per shard (each shard consumes it with its
+    own column block): the true cotangent is the sum of the per-shard
+    partials, which plain per-shard autodiff would silently drop."""
+    @jax.custom_vjp
+    def g(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, ct):
+        return (jax.lax.psum(ct, model_axis),)
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def _tp_scalar_dot(t_m, vec, model_axis):
+    """Attention-scalar inner product under feature sharding:
+    s = <t, vec> computed as psum of per-block partials (vec rows
+    zero-pad to the block grid like _tp_matmul). The result is
+    replicated but consumed blockwise downstream, so the cotangent
+    re-psums via _sum_cotangent."""
+    m_n = jax.lax.axis_size(model_axis)
+    m_i = jax.lax.axis_index(model_axis)
+    blk = t_m.shape[1]
+    v_p = jnp.pad(vec, (0, blk * m_n - vec.shape[0]))
+    v_b = jax.lax.dynamic_slice_in_dim(v_p, m_i * blk, blk, 0)
+    return _sum_cotangent(model_axis)(
+        jax.lax.psum(t_m @ v_b, model_axis))
+
+
 def _local_gconv_forward_tp(cfg: ModelConfig, params, ga, x_own, *,
                             axis=AXIS, model_axis=MODEL_AXIS, ell=None):
     """Tensor-parallel per-shard forward (GCN/SAGE): the 2-D
@@ -216,7 +251,8 @@ def _local_gconv_forward_tp(cfg: ModelConfig, params, ga, x_own, *,
     Ragged dims zero-pad per _tp_matmul; the classifier output psums to
     a replicated full-width logits block for the loss."""
     nv_pad = x_own.shape[0]
-    _, _, aggregate = _make_aggregators(ga, ell, nv_pad, axis)
+    exchange, _, aggregate = _make_aggregators(ga, ell, nv_pad, axis)
+    se = ell["se"]
     m_n = jax.lax.axis_size(model_axis)
     m_i = jax.lax.axis_index(model_axis)
 
@@ -229,7 +265,28 @@ def _local_gconv_forward_tp(cfg: ModelConfig, params, ga, x_own, *,
         p = params["gconv"][l]
         last_gconv = (l == cfg.num_layers - 1) and not cfg.use_dense
         scatter = not last_gconv            # hidden dims divide m_n
-        if din > dout:
+        if cfg.arch == "gat":
+            # project column-sharded; attention scalars are full inner
+            # products over the feature dim -> psum'd partials whose
+            # cotangents re-psum (_tp_scalar_dot); the fused kernel then
+            # weights this shard's value columns with the replicated
+            # softmax scalars. GAT output stays column-sharded (the loss
+            # head is the dense layer, use_dense — asserted below).
+            t = _tp_matmul(h, p["W_neigh"], model_axis, scatter=True)
+            t_ext = exchange(t)
+            sl = _tp_scalar_dot(t, p["alpha_l"], model_axis)
+            sr = _tp_scalar_dot(t_ext, p["alpha_r"], model_axis)
+            if se.fwd:
+                out = gat_fused_local_v2(nv_pad, se, sl, sr, t_ext)
+            else:
+                logits = sl[ga["edge_src"]] + sr[ga["col_idx"]]
+                logits = jnp.where(logits > 0, logits, 0.2 * logits)
+                scores = _local_segment_softmax(
+                    ga["edge_src"], logits, ga["edge_valid"], nv_pad)
+                _, aggregate_w, _ = _make_aggregators(ga, ell, nv_pad,
+                                                      axis)
+                out = aggregate_w(t_ext, scores)
+        elif din > dout:
             t = _tp_matmul(h, p["W_neigh"], model_axis, scatter=scatter)
             out = aggregate(t)
         else:
@@ -397,10 +454,16 @@ def make_tp_trainer(
     (multihost.hybrid_mesh): vertices shard over ``axis`` exactly like
     make_sharded_trainer (``sg`` must be built for the GRAPH-axis size),
     the feature dimension shards over ``model_axis``
-    (_local_gconv_forward_tp). GCN/SAGE only; ragged feature dims
-    zero-pad per _tp_matmul."""
-    assert cfg.arch in ("gcn", "sage"), \
-        "tensor parallelism covers the static-weight archs (gcn/sage)"
+    (_local_gconv_forward_tp). GCN/SAGE/GAT; ragged feature dims
+    zero-pad per _tp_matmul. GAT requires the dense head (its gconv
+    output stays column-sharded; the reference's GAT config always has
+    it, net.cpp:447). GGNN is excluded: its GRU state would have to go
+    full-width replicated at the classifier, double-counting gate
+    gradients under the (graph, model) psum."""
+    assert cfg.arch in ("gcn", "sage", "gat"), \
+        "tensor parallelism covers gcn/sage/gat"
+    assert cfg.arch != "gat" or cfg.use_dense, \
+        "TP GAT needs use_dense (column-sharded gconv output)"
     assert sg.num_shards == dict(zip(mesh.axis_names,
                                      mesh.devices.shape))[axis], \
         "build_sharded_graph must use the graph-axis size, not n_devices"

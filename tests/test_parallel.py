@@ -447,6 +447,8 @@ def test_trainer_from_shard_files_matches_in_memory(mesh, tmp_path):
     ((4, 2), "sage", (16, 8)),
     ((2, 4), "sage", (16, 8)),
     ((2, 4), "gcn", (18, 7)),    # ragged: neither dim divides M=4
+    ((2, 4), "gat", (16, 8)),    # attention scalars psum + f-op bwd
+    ((4, 2), "gat", (18, 7)),    # ragged GAT
 ])
 def test_tp_trainer_matches_single_device(shape, arch, dims):
     """Tensor-parallel trainer over a 2-D (graph x model) mesh: loss
@@ -471,8 +473,9 @@ def test_tp_trainer_matches_single_device(shape, arch, dims):
     ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
                     val_mask=mask, test_mask=mask, num_classes=5,
                     train_range=tr, val_range=tr, test_range=tr)
+    kw = dict(use_l2norm=True, use_dense=True) if arch == "gat" else {}
     cfg = ModelConfig(arch=arch, num_layers=2, dim_init=f_in,
-                      dim_hid=f_hid, num_cls=5, lr=0.02)
+                      dim_hid=f_hid, num_cls=5, lr=0.02, **kw)
     single = Model(cfg, ds)
 
     prepped = prepare_graph(g, arch)
