@@ -173,10 +173,11 @@ def _train_sharded(cfg, ds, epochs: int, val_interval: int,
     w = aggregation_weights(prepped, cfg.arch)
     if tp > 1:
         from graphaibench_tpu.parallel import MODEL_AXIS, make_tp_trainer
+        from graphaibench_tpu.parallel.multihost import hybrid_mesh
 
         gdim = max(n // tp, 1)
-        mesh = Mesh(np.array(jax.devices()[:gdim * tp]).reshape(gdim, tp),
-                    (AXIS, MODEL_AXIS))
+        mesh = hybrid_mesh(AXIS, MODEL_AXIS, model_parallelism=tp,
+                           devices=jax.devices()[:gdim * tp])
         print(f"sharded trainer: ({gdim} graph x {tp} model) mesh, "
               "vertex sharding + feature-dim tensor parallelism")
         sg = build_sharded_graph(prepped, w, gdim)

@@ -49,7 +49,8 @@ def test_two_process_distributed_train_step(tmp_path):
     losses, accs = [], []
     for out in outs:
         m = re.search(r"MPSMOKE pid=\d+ procs=2 devices=4 loss=([0-9.]+) "
-                      r"fileloss=([0-9.]+) acc=([0-9.]+)", out)
+                      r"fileloss=([0-9.]+) acc=([0-9.]+) tploss=([0-9.]+)",
+                      out)
         assert m, out
         losses.append(float(m.group(1)))
         accs.append(float(m.group(3)))

@@ -62,6 +62,10 @@ def write_shards(prefix: str, num_shards: int) -> int:
     val = ((g.nv // 2, g.nv, g.nv - g.nv // 2), mask)
     write_trainer_shards(prefix, cfg, sg, feats, labels, tr, mask,
                          eval_ranges={"val": val})
+    # a second prefix with num_shards/2 GRAPH shards for the
+    # tensor-parallel phase ((nproc x 2) graph x model mesh)
+    sg2 = build_sharded_graph(prepped, w, num_shards // 2)
+    write_trainer_shards(prefix + "-tp", cfg, sg2, feats, labels, tr, mask)
     print(f"wrote {num_shards} shard files at {prefix}", flush=True)
     return 0
 
@@ -131,7 +135,21 @@ def main():
         # logits gather); replicated scalar, identical on every process
         acc = trainer2.eval_accuracy(p2, "val")
         assert 0.0 <= acc <= 1.0, acc
-        loss_f = f" fileloss={loss2:.6f} acc={acc:.6f}"
+
+        # tensor parallelism ACROSS processes: (nproc graph x 2 model)
+        # hybrid mesh, each process loading only its graph shard's file
+        from graphaibench_tpu.parallel import MODEL_AXIS
+        from graphaibench_tpu.parallel.multihost import hybrid_mesh
+
+        mesh_tp = hybrid_mesh(model_parallelism=2)
+        trainer3, cfg3 = make_sharded_trainer_from_files(
+            mesh_tp, prefix + "-tp", model_axis=MODEL_AXIS)
+        p3 = init_params(cfg3)
+        _, _, loss3 = trainer3.train_step(p3, Adam(lr=cfg3.lr).init(p3))
+        loss3 = float(jax.device_get(jax.tree.leaves(loss3)[0]))
+        # same math on a different shard layout: f32 summation-order tol
+        assert abs(loss3 - loss) < 1e-4, (loss3, loss)
+        loss_f = f" fileloss={loss2:.6f} acc={acc:.6f} tploss={loss3:.6f}"
 
     print(f"MPSMOKE pid={pid} procs={jax.process_count()} "
           f"devices={n} loss={loss:.6f}{loss_f}", flush=True)
