@@ -17,7 +17,9 @@ vertex-sharded halo-exchange trainer over a mesh of n devices
 argv. Loss trajectory and test accuracy match the single-chip Model to
 f32 summation-order tolerance. ``GAB_TP=<m>`` additionally shards the
 feature dimension over an m-wide model axis (2-D graph x model mesh,
-GCN/SAGE).
+GCN/SAGE). ``GAB_DP=<p>`` makes GraphSAINT training (subg_size > 0)
+data-parallel: p devices each train on their own sampled subgraph per
+step with pmean'd gradients (parallel/dp_saint.py).
 """
 
 from __future__ import annotations
@@ -131,7 +133,27 @@ def cmd_train(argv: list[str]) -> int:
         if subg_size > 0:
             from graphaibench_tpu.nn.sampler import SaintSampler  # noqa: F401
             model = Model(cfg, ds, inductive=True, timers=timers)
-            model.train_sampled(epochs, subg_size, val_interval=val_interval)
+            dp = int(os.environ.get("GAB_DP", "1"))
+            if dp > 1:
+                # GAB_DP=<p>: data-parallel GraphSAINT — each of p
+                # devices trains on its own sampled subgraph per step,
+                # gradients pmean'd (the reference's num_subgraphs =
+                # num_threads parallel sampler, net.cpp:159, mapped to
+                # the device mesh)
+                import jax
+                import numpy as np
+                from jax.sharding import Mesh
+
+                from graphaibench_tpu.parallel.dp_saint import (
+                    DATA_AXIS, train_sampled_dp)
+
+                dp = max(1, min(dp, len(jax.devices())))
+                mesh = Mesh(np.asarray(jax.devices()[:dp]), (DATA_AXIS,))
+                train_sampled_dp(model, epochs, subg_size, mesh=mesh,
+                                 val_interval=val_interval)
+            else:
+                model.train_sampled(epochs, subg_size,
+                                    val_interval=val_interval)
         else:
             model = Model(cfg, ds, inductive=inductive, timers=timers)
             model.train(epochs, val_interval=val_interval)

@@ -88,6 +88,42 @@ class GraphBundle:
                    packed_w=packed)
 
 
+def pad_subgraph(sampler, arch: str, subg_size: int, seed: int,
+                 n_pad: int, e_pad: int, feats_np: np.ndarray,
+                 labels_np: np.ndarray) -> dict:
+    """Host work of one sampled step: sample + induce + pad to fixed
+    shapes (n_pad, e_pad) so the device step compiles once. Mirrors the
+    reference's construct_subg_feats/labels + graph swap
+    (net.cpp:288-358). Returns padded numpy arrays; ``e_pad`` in the
+    result may have grown (rounded up to 64) when the sample's edge
+    count exceeded the requested pad — callers recompile once."""
+    sub, l2g, _mask = sampler.generate_subgraph(subg_size, seed)
+    sub = prepare_graph(sub, arch)
+    n_real, e_real = sub.nv, sub.ne
+    if e_real > e_pad:  # grow the pad (recompiles once)
+        e_pad = -(-e_real // 64) * 64
+    w = aggregation_weights(sub, arch)
+    src, dst = sub.coo()
+    es = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    cd = np.zeros(e_pad, dtype=np.int32)
+    ww = np.zeros(e_pad, dtype=np.float32)
+    es[:e_real], cd[:e_real] = src, dst
+    # for GAT edge_w is the validity mask; others carry norms
+    ww[:e_real] = 1.0 if arch == "gat" else w
+    tp = np.arange(e_pad, dtype=np.int32)
+    tp[:e_real] = T.transpose_edge_permutation(sub)
+    deg = np.zeros(n_pad, dtype=np.int32)
+    deg[:n_real] = sub.degrees()
+    x = np.zeros((n_pad, feats_np.shape[1]), dtype=np.float32)
+    x[:n_real] = feats_np[l2g]
+    lab = np.zeros(n_pad, dtype=np.int32)
+    lab[:n_real] = labels_np[l2g]
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n_real] = True
+    return dict(e_pad=e_pad, n_real=n_real, es=es, cd=cd, ww=ww,
+                tp=tp, deg=deg, x=x, lab=lab, valid=valid)
+
+
 class Model:
     """End-to-end trainer. Usage:
 
@@ -313,35 +349,13 @@ class Model:
         step = jax.jit(sampled_step)
 
         def prepare(epoch, e_pad):
-            """Host work of one epoch: sample + induce + pad. Runs in a
+            """Host work of one epoch (pad_subgraph). Runs in a
             background thread so epoch k+1's sampling overlaps epoch k's
             device step (the reference pre-samples num_threads subgraphs
             per round for the same reason, net.cpp:288-358)."""
-            sub, l2g, _mask = sampler.generate_subgraph(subg_size, seed + epoch)
-            sub = prepare_graph(sub, self.cfg.arch)
-            n_real, e_real = sub.nv, sub.ne
-            if e_real > e_pad:  # grow the pad (recompiles once)
-                e_pad = -(-e_real // 64) * 64
-            w = aggregation_weights(sub, self.cfg.arch)
-            src, dst = sub.coo()
-            es = np.full(e_pad, n_pad - 1, dtype=np.int32)
-            cd = np.zeros(e_pad, dtype=np.int32)
-            ww = np.zeros(e_pad, dtype=np.float32)
-            es[:e_real], cd[:e_real] = src, dst
-            # for GAT edge_w is the validity mask; others carry norms
-            ww[:e_real] = 1.0 if self.cfg.arch == "gat" else w
-            tp = np.arange(e_pad, dtype=np.int32)
-            tp[:e_real] = T.transpose_edge_permutation(sub)
-            deg = np.zeros(n_pad, dtype=np.int32)
-            deg[:n_real] = sub.degrees()
-            x = np.zeros((n_pad, feats_np.shape[1]), dtype=np.float32)
-            x[:n_real] = feats_np[l2g]
-            lab = np.zeros(n_pad, dtype=np.int32)
-            lab[:n_real] = labels_np[l2g]
-            valid = np.zeros(n_pad, dtype=bool)
-            valid[:n_real] = True
-            return dict(e_pad=e_pad, n_real=n_real, es=es, cd=cd, ww=ww,
-                        tp=tp, deg=deg, x=x, lab=lab, valid=valid)
+            return pad_subgraph(sampler, self.cfg.arch, subg_size,
+                                seed + epoch, n_pad, e_pad, feats_np,
+                                labels_np)
 
         import concurrent.futures
 
