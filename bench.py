@@ -68,6 +68,23 @@ def _init_backend(retries: int | None = None, backoff_s: float | None = None):
     import jax
 
     retries = retries or int(os.environ.get("GAB_BENCH_RETRIES", "3"))
+    # persistent compile cache: jit-through-the-tunnel compiles cost
+    # 10-60 s each; caching serialized executables across bench runs
+    # keeps the driver's end-of-round run inside its budget. If the
+    # backend's executables aren't serializable jax just logs and
+    # compiles as before.
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "GAB_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
     if backoff_s is None:
         backoff_s = float(os.environ.get("GAB_BENCH_BACKOFF_S", "60"))
     # the installed axon plugin force-appends itself and ignores the
@@ -93,22 +110,28 @@ def _init_backend(retries: int | None = None, backoff_s: float | None = None):
     return False
 
 
-def _bench_looped(f, init, iters):
+def _bench_looped(f, init, iters, *args):
     """Median-of-3 timed runs, each on a FRESH input with the result
     value fetched: through the tunnelled TPU, identical repeat
     executions can be served from a cache and block_until_ready can
     return early (see CLAUDE.md), so neither repeats nor bare blocking
-    are trustworthy."""
+    are trustworthy.
+
+    Every array/pytree operand MUST ride in ``*args`` — a closed-over
+    device array is serialized into the remote compile request, and at
+    rmat20 the seg-ELL layout alone exceeds the tunnel's request limit
+    (HTTP 413, observed; CLAUDE.md rule)."""
     import jax
 
-    run = jax.jit(lambda c: jax.lax.fori_loop(0, iters, lambda i, v: f(i, v), c))
-    _ = np.asarray(run(init)[0])  # compile + force (tiny slice fetch)
+    run = jax.jit(lambda c, *a: jax.lax.fori_loop(
+        0, iters, lambda i, v: f(i, v, *a), c))
+    _ = np.asarray(run(init, *args)[0])  # compile + force (tiny slice fetch)
     times = []
     for k in range(3):
         init_k = init + np.float32(1e-6) * (k + 1)
         _ = np.asarray(init_k[0])           # materialize input first
         t0 = time.perf_counter()
-        out = run(init_k)
+        out = run(init_k, *args)
         _ = np.asarray(out[0])              # force execution; fetch one row
         times.append((time.perf_counter() - t0) / iters)
     return sorted(times)[1]
@@ -151,14 +174,15 @@ def main():
 
         with _section("rmat17_spmm") as chk:
             chk()
-            g = rmat(scale, ef, seed=0)
+            g = rmat(scale, ef, seed=0, cache=True)
             gb = GraphBundle.build(g, "gcn")
             nv, ne = gb.host.nv, gb.host.ne
             x = jnp.asarray(rng.standard_normal((nv, feat)).astype(np.float32))
             # SpMM throughput (best strategy for this size: ELL; packed
             # static weights = the production training path)
             dt = _bench_looped(
-                lambda i, v: spmm_ell(gb.device, gb.edge_w_agg, v), x, 20)
+                lambda i, v, dg, w: spmm_ell(dg, w, v), x, 20,
+                gb.device, gb.edge_w_agg)
             headline["edges_per_s"] = ne / dt
             from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
             slots = sum(b.nbr.size for b, _ in iter_buckets_sliced(gb.device))
@@ -176,11 +200,11 @@ def main():
             idx = jnp.asarray(rng.integers(0, g.nv, slots).astype(np.int32))
             wg = jnp.asarray(rng.standard_normal(slots).astype(np.float32))
 
-            def gather_only(i, acc):
-                shifted = (idx + i) % g.nv
-                return acc + (x[shifted] * wg[:, None]).sum(0)
+            def gather_only(i, acc, xs, idxs, wgs):
+                shifted = (idxs + i) % g.nv
+                return acc + (xs[shifted] * wgs[:, None]).sum(0)
 
-            dt_g = _bench_looped(gather_only, jnp.zeros(feat), 10)
+            dt_g = _bench_looped(gather_only, jnp.zeros(feat), 10, x, idx, wg)
             gather_rows_per_s = slots / dt_g
             headline["sol_edges_per_s"] = gather_rows_per_s * g.ne / slots
             EXTRA["gather_rows_per_s"] = float(gather_rows_per_s)
@@ -219,7 +243,8 @@ def main():
             x20 = jnp.asarray(
                 rng.standard_normal((g20.nv, feat)).astype(np.float32))
             dt20 = _bench_looped(
-                lambda i, v: spmm_ell(gb20.device, gb20.edge_w_agg, v), x20, 5)
+                lambda i, v, dg, w: spmm_ell(dg, w, v), x20, 5,
+                gb20.device, gb20.edge_w_agg)
             EXTRA["rmat20_spmm_ms"] = dt20 * 1e3
             EXTRA["rmat20_spmm_edges_per_s"] = g20.ne / dt20
         gb20 = None

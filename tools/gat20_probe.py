@@ -22,18 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench_chained(fn, x0, iters=4):
+def bench_chained(fn, x0, iters=4, *args):
+    """Chained-dependency timing loop. Every big array/pytree operand
+    must ride in ``*args`` — closed-over device arrays serialize into
+    the remote compile request and the rmat20 seg-ELL alone blows the
+    tunnel's limit (HTTP 413; CLAUDE.md rule)."""
     import jax
 
-    run = jax.jit(lambda c: jax.lax.fori_loop(
-        0, iters, lambda i, v: fn(v), c))
-    _ = np.asarray(run(x0))[..., :1]
+    run = jax.jit(lambda c, *a: jax.lax.fori_loop(
+        0, iters, lambda i, v: fn(v, *a), c))
+    _ = np.asarray(run(x0, *args))[..., :1]
     times = []
     for k in range(3):
         xk = x0 + np.float32(1e-6) * (k + 1)
         _ = np.asarray(xk)[..., :1]
         t0 = time.perf_counter()
-        out = run(xk)
+        out = run(xk, *args)
         _ = np.asarray(out)[..., :1]
         times.append((time.perf_counter() - t0) / iters)
     return sorted(times)[1]
@@ -88,21 +92,23 @@ def main():
 
     # rowmax sweep alone
     report("rowmax", bench_chained(
-        lambda v: FG._sr_rowmax(dg, sr + v[0] * 1e-9), sl))
+        lambda v, g_, s_: FG._sr_rowmax(g_, s_ + v[0] * 1e-9), sl, 4,
+        dg, sr))
 
     # full v2 forward
     report("fwd", bench_chained(
-        lambda v: FG.gat_attention_spmm_v2(
-            dg, sl, sr, h + v[..., None] * 1e-12)[:, 0], sl))
+        lambda v, g_, s1, s2, hh: FG.gat_attention_spmm_v2(
+            g_, s1, s2, hh + v[..., None] * 1e-12)[:, 0], sl, 4,
+        dg, sl, sr, h))
 
     # forward + backward
-    def fb(v):
+    def fb(v, g_, s1_, s2_, h_):
         def loss(hh, s1, s2):
-            return FG.gat_attention_spmm_v2(dg, s1, s2, hh).sum()
+            return FG.gat_attention_spmm_v2(g_, s1, s2, hh).sum()
         dh, ds1, ds2 = jax.grad(loss, argnums=(0, 1, 2))(
-            h * (1 + v[0] * 1e-12), sl, sr)
+            h_ * (1 + v[0] * 1e-12), s1_, s2_)
         return ds1
-    report("fwdbwd", bench_chained(fb, sl))
+    report("fwdbwd", bench_chained(fb, sl, 4, dg, sl, sr, h))
     return 0
 
 

@@ -22,18 +22,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench_chained(spmm_fn, x0, iters=6):
+def bench_chained(spmm_fn, x0, iters=6, *args):
+    """Graph/weight operands must ride in ``*args``: closed-over device
+    arrays serialize into the remote compile request, and an rmat20 ELL
+    layout blows the tunnel's limit (HTTP 413; CLAUDE.md rule)."""
     import jax
 
-    run = jax.jit(lambda c: jax.lax.fori_loop(
-        0, iters, lambda i, v: spmm_fn(v), c))
-    _ = np.asarray(run(x0)[0])
+    run = jax.jit(lambda c, *a: jax.lax.fori_loop(
+        0, iters, lambda i, v: spmm_fn(v, *a), c))
+    _ = np.asarray(run(x0, *args)[0])
     times = []
     for k in range(3):
         xk = x0 + np.float32(1e-6) * (k + 1)
         _ = np.asarray(xk[0])
         t0 = time.perf_counter()
-        out = run(xk)
+        out = run(xk, *args)
         _ = np.asarray(out[0])
         times.append((time.perf_counter() - t0) / iters)
     return sorted(times)[1]
@@ -67,7 +70,8 @@ def main():
     results = []
 
     def measure(tag, gg, ww):
-        dt = bench_chained(lambda v: spmm_ell(gg, ww, v), x)
+        dt = bench_chained(
+            lambda v, g_, w_: spmm_ell(g_, w_, v), x, 6, gg, ww)
         r = dict(tag=tag, ms=dt * 1e3, edges_per_s=g.ne / dt)
         results.append(r)
         print(json.dumps(r), flush=True)

@@ -1,24 +1,15 @@
 #!/bin/bash
-# TPU measurement queue (rounds 2+3) — run when the tunnel is up.
-# Captures every pending real-chip measurement in priority order,
-# saving JSON outputs under tools/results/ which are COMMITTED per
-# round (VERDICT r2: measured claims must be reproducible from
-# committed artifacts), then summarized into BASELINE.md.
+# Round-3 measurement queue, part 2 — everything after bench.py.
+# (bench.py runs separately first; this script assumes .rmat_cache is
+# warm and the closure-free harnesses: arrays ride as jit ARGUMENTS,
+# never captures — the rmat20 seg-ELL closure hit the tunnel's HTTP 413
+# compile-request limit.)
 #
-#   bash tools/tpu_round2_queue.sh [outdir]
-#
-# Priority rationale (VERDICT r1): 1. headline bench (driver metric,
-# incl. the unmeasured bf16 GAT-at-scale commit a973f54), 2. rmat20 GAT
-# probe (target <=4 s), 3. rmat20 SpMM sweep (target <=300 ms),
-# 4. frontier pull-kernel timings (target <=0.3 s at rmat19),
-# 5. sharded P=1 ratio incl. the overlap split, 6. GraphSAINT sampled
-# epoch (target <=0.3 s).
+#   bash tools/round3_queue.sh [outdir]
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-tools/results}
 mkdir -p "$OUT"
-# persistent compile cache: tunnel compiles cost 10-60 s each and the
-# queue re-jits the same shapes across items/reruns
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=${JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-1}
 run() {
@@ -29,13 +20,13 @@ run() {
   tail -c 600 "$OUT/$name.json"
   echo
 }
-run bench           python bench.py
 run gat20_probe     python tools/gat20_probe.py
 run rmat20_sweep    python tools/rmat20_sweep.py
 run frontier_bench  python tools/frontier_bench.py
+run frontier_20     python tools/frontier_bench.py --scale 20 --ef 32
 run sharded_p1_17   python tools/sharded_p1_bench.py --scale 17
 run sharded_p1_20   python tools/sharded_p1_bench.py --scale 20 --ef 32 --epochs 3
 run saint_bench     python tools/saint_bench.py
 run decode_bench    python tools/decode_bench.py
 RUN_TIMEOUT=3000 run products_bench  python tools/products_bench.py
-echo "queue done $(date)"
+echo "queue part 2 done $(date)"
