@@ -77,7 +77,10 @@ def _row_denom_ell(g: DeviceGraph, logits, m):
 def _norm_consts(g: DeviceGraph, logits):
     m = _row_reduce_ell(g, logits, "max")
     m = jnp.where(jnp.isfinite(m), m, 0.0)
-    z = 1.0 / jnp.maximum(_row_denom_ell(g, logits, m), 1e-38)
+    # NORMAL f32 floor: 1e-38 is subnormal and XLA flushes it to zero on
+    # TPU, making empty rows (padded sampled subgraphs) produce inf here
+    # and NaN downstream (same rule as the v2 path below)
+    z = 1.0 / jnp.maximum(_row_denom_ell(g, logits, m), 1e-30)
     return m, z
 
 

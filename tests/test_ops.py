@@ -638,3 +638,33 @@ def test_seg_only_gat_layer_matches_plain():
                           train=False, key=None, trivial_w=True)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gat_v1_finite_on_empty_rows():
+    """Padded sampled subgraphs carry edgeless rows; the v1 softmax
+    normalizer floor must be a NORMAL f32 (1e-30) — a subnormal floor
+    (1e-38) flushes to zero on TPU and turns empty-row z into inf, NaN
+    in the backward (CLAUDE.md round-2 rule; fused_gat.py _norm_consts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.csr import CSRGraph
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+    from graphaibench_tpu.ops.fused_gat import gat_attention_spmm
+
+    rp = np.array([0, 2, 4, 6, 6], np.int64)       # vertex 3: no edges
+    ci = np.array([1, 2, 0, 2, 0, 1], np.int32)
+    dg = to_device_graph(CSRGraph(row_ptr=rp, col_idx=ci))
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    ew = jnp.ones(6, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+
+    def loss(h_, l_):
+        return gat_attention_spmm(dg, l_, ew, h_).sum()
+
+    val = loss(h, logits)
+    gh, gl = jax.grad(loss, argnums=(0, 1))(h, logits)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(gh)))
+    assert np.all(np.isfinite(np.asarray(gl)))
