@@ -27,6 +27,7 @@ fit in 32 bits (XLA int64 is slow on TPU).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -429,7 +430,17 @@ def to_device_graph(
         jnp.asarray(T.transpose_edge_permutation(g)) if with_transpose else None
     )
     if seg_ell is None:
-        seg_ell = with_ell and g.nv >= SEG_ELL_MIN_NV
+        # GAB_SEG_ELL=0|1 overrides the size heuristic. The escape hatch
+        # exists because the tunnel's compile helper has a program-size
+        # ceiling: the segmented layout unrolls segments x buckets and a
+        # full fwd+bwd epoch at rmat20 deterministically fails remote
+        # compilation (HTTP 500), while the plain layout (8x fewer
+        # gather stages) compiles — a slower epoch beats none.
+        env = os.environ.get("GAB_SEG_ELL", "")
+        if env:
+            seg_ell = with_ell and env not in ("0", "false")
+        else:
+            seg_ell = with_ell and g.nv >= SEG_ELL_MIN_NV
     seg = build_seg_ell(g, split=ell_split) if (seg_ell and with_ell and
                                                 g.ne > 0) else None
     ell = tuple(build_ell_buckets(g, ell_split)) if (with_ell and

@@ -668,3 +668,31 @@ def test_fused_gat_v1_finite_on_empty_rows():
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(gh)))
     assert np.all(np.isfinite(np.asarray(gl)))
+
+
+def test_gab_seg_ell_env_override(monkeypatch):
+    """GAB_SEG_ELL forces the layout regardless of graph size — the
+    escape hatch for the tunnel compile helper's program-size ceiling
+    (rmat20 seg-ELL fwd+bwd fails remote compile; plain compiles)."""
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.ops.device_graph import to_device_graph
+    from graphaibench_tpu.ops.spmm import spmm_ell
+
+    g = rmat(10, 8, seed=3)
+    monkeypatch.setenv("GAB_SEG_ELL", "1")
+    dg_seg = to_device_graph(g)
+    monkeypatch.setenv("GAB_SEG_ELL", "0")
+    dg_plain = to_device_graph(g)
+    monkeypatch.delenv("GAB_SEG_ELL")
+    dg_auto = to_device_graph(g)            # small -> plain by heuristic
+    assert dg_seg.seg_ell is not None and dg_seg.ell == ()
+    assert dg_plain.seg_ell is None and dg_plain.ell
+    assert dg_auto.seg_ell is None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.nv, 8)).astype(np.float32))
+    w = jnp.ones(g.ne, jnp.float32)
+    np.testing.assert_allclose(np.asarray(spmm_ell(dg_seg, w, x)),
+                               np.asarray(spmm_ell(dg_plain, w, x)),
+                               rtol=2e-5, atol=2e-5)
