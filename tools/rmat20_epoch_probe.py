@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--archs", nargs="+", default=["gcn", "gat"])
+    ap.add_argument("--layouts", default="seg_ell,plain_ell",
+                    help="comma list; pass plain_ell alone when the seg "
+                         "compile failure is already on record (bench.json)")
     args = ap.parse_args()
 
     from graphaibench_tpu.graph.generators import rmat
@@ -64,7 +67,10 @@ def main():
     for arch in args.archs:
         cfg = ModelConfig(arch=arch, num_layers=2, dim_init=args.feat,
                           dim_hid=128, num_cls=16, lr=0.01)
-        for layout, env in (("seg_ell", ""), ("plain_ell", "0")):
+        wanted = args.layouts.split(",")
+        for layout, env in (("seg_ell", "1"), ("plain_ell", "0")):
+            if layout not in wanted:
+                continue
             gc.collect()
             if env:
                 os.environ["GAB_SEG_ELL"] = env

@@ -26,7 +26,7 @@ run() {
   tail -c 400 "$OUT/$name.json"; echo
 }
 
-run 1800 rmat20_epochs    python tools/rmat20_epoch_probe.py
+run 1800 rmat20_epochs    python tools/rmat20_epoch_probe.py --layouts plain_ell
 run 1500 gat20_probe     python tools/gat20_probe.py
 run  900 sharded_p1_17   python tools/sharded_p1_bench.py --scale 17
 run 1200 frontier_bench  python tools/frontier_bench.py
