@@ -37,15 +37,54 @@ import numpy as np
 
 EXTRA: dict = {}
 ERRORS: dict = {}
+HEADLINE: dict = {"edges_per_s": None, "sol_edges_per_s": None}
 
 # test hooks (tests/test_bench_harness.py): force a section to throw /
 # shrink graph sizes so the hardening itself is testable on CPU
 _FAULTS = set(filter(None, os.environ.get("GAB_BENCH_FAULT", "").split(",")))
 
+# wall-clock budget for the WHOLE bench run. Round-3 postmortem: the
+# driver killed bench.py mid-rmat20 (rc=124) and the record — printed
+# only at the very end — was lost. Two defenses now: (a) the cumulative
+# record line is re-printed after EVERY section (the driver parses the
+# last JSON line, so a timeout keeps everything measured so far), and
+# (b) sections that would start past the budget are skipped so the run
+# exits 0 with a partial-but-parsed record.
+_T_START = time.perf_counter()
+_BUDGET_S = float(os.environ.get("GAB_BENCH_BUDGET_S", "1500"))
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T_START
+
 
 def _maybe_fault(name: str):
     if name in _FAULTS:
         raise RuntimeError(f"injected fault ({name})")
+
+
+class _SkipSection(Exception):
+    pass
+
+
+def _emit():
+    """Print the cumulative record as one JSON line (the driver parses
+    the LAST JSON line on stdout, so each section makes the on-disk
+    result strictly better — mirroring the reference's incremental
+    per-stage self-reporting, src/gnn/train.cpp:60-76)."""
+    value = HEADLINE["edges_per_s"]
+    sol = HEADLINE["sol_edges_per_s"]
+    record = {
+        "metric": "spmm_edges_per_s",
+        "value": None if value is None else float(value),
+        "unit": "edges/s",
+        "vs_baseline": (None if value is None or not sol
+                        else float(value / sol)),
+        "extra": EXTRA,
+    }
+    if ERRORS:
+        record["errors"] = ERRORS
+    print(json.dumps(record), flush=True)
 
 
 @contextlib.contextmanager
@@ -54,13 +93,26 @@ def _section(name: str):
     the sections already measured still reach the final JSON line.
     Yields a fault-check callable the body invokes first (test hook)."""
     t0 = time.perf_counter()
+
+    def _gate():
+        # budget guard first: a section that would START past the
+        # budget is skipped so the run exits 0 with a partial record
+        if _elapsed() > _BUDGET_S:
+            raise _SkipSection
+        _maybe_fault(name)
+
     try:
-        yield lambda: _maybe_fault(name)
+        yield _gate
         print(f"[bench] {name} ok ({time.perf_counter() - t0:.1f}s)",
               file=sys.stderr)
+    except _SkipSection:
+        EXTRA.setdefault("skipped_over_budget", []).append(name)
+        print(f"[bench] {name} SKIPPED: over budget "
+              f"({_elapsed():.0f}s > {_BUDGET_S:.0f}s)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 - any failure must not kill the record
         ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
         print(f"[bench] {name} FAILED: {ERRORS[name]}", file=sys.stderr)
+    _emit()
 
 
 def _init_backend(retries: int | None = None, backoff_s: float | None = None):
@@ -158,7 +210,7 @@ def _timed_epochs(model, epochs, retries=1):
 
 
 def main():
-    headline = {"edges_per_s": None, "sol_edges_per_s": None}
+    headline = HEADLINE
 
     if _init_backend():
         import jax.numpy as jnp
@@ -267,26 +319,42 @@ def main():
             """Time the full-batch epoch on the default (segmented)
             layout; if remote compilation fails deterministically — the
             tunnel's compile helper has a program-size ceiling and the
-            rmat20 seg-ELL fwd+bwd program exceeds it (HTTP 500, both
-            round-3 sessions) — rebuild on the plain ELL layout (8x
-            fewer unrolled gather stages) and record which layout the
-            number belongs to."""
+            rmat20 seg-ELL fwd+bwd program exceeded it in round 3 — the
+            plain ELL layout (8x fewer unrolled gather stages) is
+            retried and the record says which layout the number belongs
+            to. The retry happens OUTSIDE the except block: the caught
+            exception's traceback pins the failed seg-ELL Model's
+            frames, and ~1+ GB of seg device-graph HBM must be freed
+            before the fallback Model compiles."""
             cfg = ModelConfig(arch=arch, num_layers=2, dim_init=feat,
                               dim_hid=128, num_cls=16, lr=0.01)
+            # honor a pre-set GAB_SEG_ELL (operator escape hatch): label
+            # the first attempt by the layout that actually ran
+            prior = os.environ.get("GAB_SEG_ELL")
+            seg_off = (prior is not None and
+                       prior.strip().lower() in ("0", "false", "off", "no"))
             try:
                 EXTRA[key] = _timed_epochs(Model(cfg, ds20), 3)
-                EXTRA[key + "_layout"] = "seg_ell"
-            except Exception as e:  # noqa: BLE001 - fall back, smaller program
-                print(f"[bench] {key} seg layout failed "
+                EXTRA[key + "_layout"] = ("plain_ell_env" if seg_off
+                                          else "seg_ell")
+                return
+            except Exception as e:  # noqa: BLE001 - fall back below
+                ERRORS[key + "_seg"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"[bench] {key} first layout failed "
                       f"({type(e).__name__}); retrying on plain ELL",
                       file=sys.stderr)
-                gc.collect()
-                os.environ["GAB_SEG_ELL"] = "0"
-                try:
-                    EXTRA[key] = _timed_epochs(Model(cfg, ds20), 3)
-                    EXTRA[key + "_layout"] = "plain_ell_fallback"
-                finally:
+            if seg_off:  # already plain — nothing smaller to retry on
+                raise RuntimeError(ERRORS[key + "_seg"])
+            gc.collect()
+            os.environ["GAB_SEG_ELL"] = "0"
+            try:
+                EXTRA[key] = _timed_epochs(Model(cfg, ds20), 3)
+                EXTRA[key + "_layout"] = "plain_ell_fallback"
+            finally:
+                if prior is None:
                     del os.environ["GAB_SEG_ELL"]
+                else:
+                    os.environ["GAB_SEG_ELL"] = prior
 
         with _section("rmat20_gcn_epoch") as chk:
             chk()
@@ -306,19 +374,7 @@ def main():
         m20g = None
         gc.collect()
 
-    value = headline["edges_per_s"]
-    sol = headline["sol_edges_per_s"]
-    record = {
-        "metric": "spmm_edges_per_s",
-        "value": None if value is None else float(value),
-        "unit": "edges/s",
-        "vs_baseline": (None if value is None or not sol
-                        else float(value / sol)),
-        "extra": EXTRA,
-    }
-    if ERRORS:
-        record["errors"] = ERRORS
-    print(json.dumps(record))
+    _emit()  # final (same cumulative record the last section printed)
 
 
 if __name__ == "__main__":

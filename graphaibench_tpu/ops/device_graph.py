@@ -436,9 +436,9 @@ def to_device_graph(
         # full fwd+bwd epoch at rmat20 deterministically fails remote
         # compilation (HTTP 500), while the plain layout (8x fewer
         # gather stages) compiles — a slower epoch beats none.
-        env = os.environ.get("GAB_SEG_ELL", "")
+        env = os.environ.get("GAB_SEG_ELL", "").strip().lower()
         if env:
-            seg_ell = with_ell and env not in ("0", "false")
+            seg_ell = with_ell and env not in ("0", "false", "off", "no")
         else:
             seg_ell = with_ell and g.nv >= SEG_ELL_MIN_NV
     seg = build_seg_ell(g, split=ell_split) if (seg_ell and with_ell and

@@ -58,6 +58,35 @@ def test_dead_backend_still_emits_record():
     assert p.stderr.count("backend init attempt") == 2
 
 
+def test_record_streams_after_every_section():
+    """Round-3 postmortem: the driver killed bench.py mid-run (rc=124)
+    and the record — printed only at the very end — was lost. The
+    cumulative record must now print after EVERY section, so a timeout
+    at any point still leaves a parsed record with everything measured
+    so far. The first section's line must already carry the headline."""
+    rec, p = _run_bench({})
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    records = [json.loads(ln) for ln in lines]
+    # 7 sections + the final emit
+    assert len(records) >= 7, p.stdout
+    assert records[0]["value"] is not None and records[0]["value"] > 0
+    # cumulative: every later record keeps the headline
+    assert all(r["value"] == records[0]["value"] for r in records)
+    assert rec["extra"]["rmat20_gat_epoch_s"] > 0
+
+
+def test_budget_guard_skips_sections_and_exits_zero():
+    """With an exhausted wall-clock budget every section is skipped,
+    the run still exits 0 and prints a parsable (null-value) record
+    listing what was skipped — a partial-but-parsed record beats the
+    driver's rc=124 with nothing."""
+    rec, p = _run_bench({"GAB_BENCH_BUDGET_S": "0"})
+    assert p.returncode == 0
+    assert rec["value"] is None
+    assert "rmat17_spmm" in rec["extra"]["skipped_over_budget"]
+    assert "rmat20_gat_epoch" in rec["extra"]["skipped_over_budget"]
+
+
 def test_rmat20_gcn_fault_isolates_and_explains_gat():
     """A crash while building the rmat20 dataset must not cascade: the
     spmm section's numbers survive, and the gat section reports the

@@ -670,6 +670,26 @@ def test_fused_gat_v1_finite_on_empty_rows():
     assert np.all(np.isfinite(np.asarray(gl)))
 
 
+def test_fused_gat_denom_floor_is_normal_f32():
+    """The behavioral empty-rows test above runs on CPU, where a
+    subnormal 1e-38 floor is NOT flushed and would still pass — so the
+    floor constants themselves are asserted: every jnp.maximum(..., C)
+    literal in fused_gat.py must be a NORMAL f32 (>= finfo(f32).tiny),
+    or the TPU flush-to-zero turns 1/z into inf on empty rows."""
+    import inspect
+    import re
+
+    from graphaibench_tpu.ops import fused_gat
+
+    src = inspect.getsource(fused_gat)
+    floors = [float(m) for m in
+              re.findall(r"jnp\.maximum\([^,]+,\s*([0-9]+(?:\.[0-9]*)?"
+                         r"(?:[eE]-?[0-9]+)?)\)", src)]
+    assert floors, "expected at least one maximum(..., floor) in fused_gat"
+    tiny = float(np.finfo(np.float32).tiny)
+    assert all(f >= tiny for f in floors), floors
+
+
 def test_gab_seg_ell_env_override(monkeypatch):
     """GAB_SEG_ELL forces the layout regardless of graph size — the
     escape hatch for the tunnel compile helper's program-size ceiling
