@@ -233,10 +233,12 @@ def ell_pack(targets, starts, counts, col, eid, sentinel: int,
     for i, wi in enumerate(w):
         if out_counts[i] == 0:
             continue
+        # flat (rows*width,) slot arrays — the EllBucket storage layout
+        # (narrow 2-D minors pad to 128 lanes in TPU HBM; see ops.lanes)
         out.append((int(wi),
                     rows_flat[row_off[i]:row_off[i + 1]],
-                    nbr_flat[slot_off[i]:slot_off[i + 1]].reshape(-1, wi),
-                    eid_flat[slot_off[i]:slot_off[i + 1]].reshape(-1, wi)))
+                    nbr_flat[slot_off[i]:slot_off[i + 1]],
+                    eid_flat[slot_off[i]:slot_off[i + 1]]))
     return out
 
 

@@ -43,11 +43,18 @@ from graphaibench_tpu.graph import transforms as T
 class EllBucket:
     """Rows of (padded) degree exactly ``width``; padding slots carry
     edge_id == ne (one past the end) so runtime per-edge values gather a
-    zero from a sentinel slot."""
+    zero from a sentinel slot.
 
-    row_ids: jnp.ndarray   # (R,) int32
-    nbr: jnp.ndarray       # (R, W) int32, padded with 0
-    edge_id: jnp.ndarray   # (R, W) int32, padded with ne (sentinel)
+    Slot arrays are FLAT (..., R*W) — row r's slots are the consecutive
+    run [r*W, (r+1)*W). A (R, W) matrix with W in {4..64} would pad its
+    minor dim to 128 lanes in TPU HBM (up to 32x the logical bytes; the
+    round-3 rmat20 OOM), so the 2-D view exists only transiently inside
+    kernels (``ops.lanes``). The optional leading axes carry the
+    sharded trainer's stacked [P] dimension."""
+
+    row_ids: jnp.ndarray   # (..., R) int32
+    nbr: jnp.ndarray       # (..., R*W) int32, padded with 0
+    edge_id: jnp.ndarray   # (..., R*W) int32, padded with ne (sentinel)
     width: int             # static
 
     def tree_flatten(self):
@@ -56,6 +63,32 @@ class EllBucket:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, width=aux[0])
+
+    @property
+    def rows(self) -> int:
+        """Row count R (the last row_ids axis)."""
+        return self.row_ids.shape[-1]
+
+    def slot_slice(self, lo: int, hi: int):
+        """(row_ids, nbr, edge_id) restricted to rows [lo, hi) — flat
+        slot arrays sliced on slot boundaries."""
+        if (lo, hi) == (0, self.rows):
+            return self.row_ids, self.nbr, self.edge_id
+        w = self.width
+        return (self.row_ids[lo:hi], self.nbr[lo * w:hi * w],
+                self.edge_id[lo * w:hi * w])
+
+    def nbr2(self) -> jnp.ndarray:
+        """(..., R, W) view of the neighbor ids (padded transient —
+        cold paths only)."""
+        return self.nbr.reshape(self.nbr.shape[:-1] + (self.rows,
+                                                       self.width))
+
+    def eid2(self) -> jnp.ndarray:
+        """(..., R, W) view of the edge ids (padded transient — cold
+        paths only)."""
+        return self.edge_id.reshape(self.edge_id.shape[:-1] + (self.rows,
+                                                               self.width))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -67,17 +100,46 @@ class SegmentedEll:
     ("making caches work for graph analytics", graph_partition.cc:184)
     mapped to the TPU gather engine: gathers stay inside a <=64 MB slice
     of x, where the measured rate is ~5x the whole-table rate on
-    million-vertex graphs (see CLAUDE.md scale findings)."""
+    million-vertex graphs (see CLAUDE.md scale findings).
 
-    bounds: tuple                  # static ((lo, hi), ...) column ranges
-    segs: tuple                    # tuple[tuple[EllBucket, ...], ...]
+    STACKED layout: one EllBucket per width whose arrays carry a
+    leading segment axis [S] — row_ids (S, R_w), nbr/edge_id
+    (S, R_w*w) — padded to uniform shapes across segments (padding rows:
+    row 0, nbr 0, edge_id = the global sentinel, so they gather weight
+    zero). Uniform shapes let a ``lax.scan`` body consume one segment
+    per step, shrinking program size from O(S * buckets) gather stages
+    to O(buckets): the remote-compile program-size ceiling that locked
+    rmat20 training out of this layout in round 3 scales with unrolled
+    stage count, not with data."""
+
+    seg_rows: int                  # static column-range width
+    nv: int                        # static gather-table rows (last range
+    #                                may be shorter than seg_rows)
+    nseg: int                      # static segment count
+    buckets: tuple                 # tuple[EllBucket, ...], leading [S]
 
     def tree_flatten(self):
-        return (self.segs,), (self.bounds,)
+        return (self.buckets,), (self.seg_rows, self.nv, self.nseg)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(bounds=aux[0], segs=children[0])
+        return cls(seg_rows=aux[0], nv=aux[1], nseg=aux[2],
+                   buckets=children[0])
+
+    @property
+    def bounds(self) -> tuple:
+        return tuple((lo, min(lo + self.seg_rows, self.nv))
+                     for lo in range(0, self.nv, self.seg_rows))
+
+    @property
+    def segs(self) -> tuple:
+        """Per-segment bucket views (leading-axis slices — XLA slices at
+        trace time, no copies) for unrolled consumers."""
+        return tuple(
+            tuple(EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
+                            edge_id=b.edge_id[s], width=b.width)
+                  for b in self.buckets)
+            for s in range(self.nseg))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -137,7 +199,8 @@ class PackedEdgeW:
     (gcn_aggregator.cpp:27-28) makes the same static-weight assumption.
 
     ``fwd[i]`` == w_pad[bucket_i.edge_id] for the i-th bucket in
-    ``iter_buckets_sliced`` order; ``t`` is the same layout for the
+    ``layout_buckets`` order ([S]-stacked on segmented graphs, flat on
+    plain ELL); ``t`` is the same layout for the
     transpose-permuted weights (the SpMM adjoint), or None.
     ``raw`` keeps the (ne,) array for non-ELL consumers (dense/COO
     fallbacks, parity tests)."""
@@ -157,28 +220,110 @@ class PackedEdgeW:
 def pack_edge_values(g: DeviceGraph, w: jnp.ndarray,
                      *, with_transpose: bool = True) -> PackedEdgeW:
     """One-time per-bucket pre-gather of static per-edge values (device
-    gathers; ~one slow pass — amortized over every subsequent SpMM)."""
+    gathers; ~one slow pass — amortized over every subsequent SpMM).
+    Aligned with ``layout_buckets``: stacked (S, R*w) per width on
+    segmented graphs, flat (R*w,) on plain ELL."""
     zero = jnp.zeros((1,), w.dtype)
     w_pad = jnp.concatenate([jnp.asarray(w), zero])
-    fwd = tuple(w_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
+    fwd = tuple(w_pad[b.edge_id] for b in layout_buckets(g))
     t = None
     if with_transpose and g.has_transpose:
         wt_pad = jnp.concatenate([jnp.asarray(w)[g.trans_perm], zero])
-        t = tuple(wt_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
+        t = tuple(wt_pad[b.edge_id] for b in layout_buckets(g))
     return PackedEdgeW(raw=jnp.asarray(w), fwd=fwd, t=t)
+
+
+def layout_buckets(g: DeviceGraph) -> tuple:
+    """The STORED bucket tuple of the active layout: [S]-stacked
+    buckets on segmented graphs, plain flat buckets otherwise. This is
+    the alignment order of every packed per-bucket value tuple
+    (pack_edge_values, segment.pack_neighbor_edge_vals)."""
+    return g.seg_ell.buckets if g.seg_ell is not None else g.ell
+
+
+def iter_layout(g: DeviceGraph, packed=None):
+    """Yield (bucket_view, (lo, hi), packed_slice) for the unrolled
+    consumption order (segment-major on segmented graphs). ``packed``
+    is a per-width tuple aligned with ``layout_buckets``; its yielded
+    slice matches the bucket view ([s] leading-axis slice on segmented
+    graphs), or None when no packed values were passed."""
+    if g.seg_ell is not None:
+        ss = g.seg_ell
+        for s, bounds in enumerate(ss.bounds):
+            for i, b in enumerate(ss.buckets):
+                bv = EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
+                               edge_id=b.edge_id[s], width=b.width)
+                yield bv, bounds, (None if packed is None else packed[i][s])
+    else:
+        for i, b in enumerate(g.ell):
+            yield b, (0, g.nv), (None if packed is None else packed[i])
 
 
 def iter_buckets_sliced(g: DeviceGraph):
     """Yield (bucket, (lo, hi)) with the gather-table slice bounds the
     bucket's neighbor ids index into; plain ELL yields the whole-table
     range, the column-segmented layout its per-segment slices."""
-    if g.seg_ell is not None:
-        for bounds, buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
-            for b in buckets:
-                yield b, bounds
-    else:
-        for b in g.ell:
-            yield b, (0, g.nv)
+    for b, bounds, _ in iter_layout(g):
+        yield b, bounds
+
+
+# lax.scan over segments when the segmented layout has at least this
+# many segments: the unrolled program grows O(S * buckets) gather
+# stages and the tunnel's remote-compile helper has a program-size
+# ceiling (round 3: the rmat20 seg-ELL fwd+bwd epoch deterministically
+# failed remote compile with HTTP 500, forcing training onto plain
+# ELL); the scanned body compiles once (measured 6.6x smaller StableHLO
+# at S=8). GAB_SEG_SCAN=0 forces unrolled (ablations).
+_SEG_SCAN_MIN = 2
+
+
+def use_seg_scan(g: DeviceGraph) -> bool:
+    if g.seg_ell is None or g.seg_ell.nseg < _SEG_SCAN_MIN:
+        return False
+    env = os.environ.get("GAB_SEG_SCAN", "").strip().lower()
+    return env not in ("0", "false", "off", "no")
+
+
+def seg_sweep(g: DeviceGraph, carry, tables: tuple, bucket_fn,
+              packed=None):
+    """Run ``bucket_fn(carry, bucket, packed_slice, *table_slices)``
+    over every (segment, width-bucket) pair of the active layout and
+    return the final carry.
+
+    ``tables`` are (n_gather_rows, C) arrays the bucket body gathers
+    from by neighbor id: on segmented graphs each is sliced to the
+    segment's column range (the <=64 MB fast-gather window); per-ROW
+    tables indexed by ``bucket.row_ids`` must be closed over instead
+    (row ids are global in every layout). ``packed`` is a per-width
+    tuple aligned with ``layout_buckets``.
+
+    At scale the sweep is a ``lax.scan`` over the [S]-stacked bucket
+    tables (one compiled body — the remote-compile-ceiling fix);
+    otherwise the trace-time unrolled loop."""
+    if use_seg_scan(g):
+        ss = g.seg_ell
+        pad = ss.nseg * ss.seg_rows - ss.nv
+
+        def to_segs(t):
+            tp = jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1)) \
+                if pad else t
+            return tp.reshape((ss.nseg, ss.seg_rows) + t.shape[1:])
+
+        segs = tuple(to_segs(t) for t in tables)
+
+        def body(c, ins):
+            ts, bks, pks = ins
+            for i, b in enumerate(bks):
+                c = bucket_fn(c, b, None if pks is None else pks[i], *ts)
+            return c, None
+
+        carry, _ = jax.lax.scan(body, carry, (segs, ss.buckets, packed))
+        return carry
+    for b, (lo, hi), pk in iter_layout(g, packed):
+        whole = (lo, hi) == (0, tables[0].shape[0]) if tables else True
+        ts = tuple(t if whole else t[lo:hi] for t in tables)
+        carry = bucket_fn(carry, b, pk, *ts)
+    return carry
 
 
 def all_buckets(g: DeviceGraph) -> tuple:
@@ -249,7 +394,8 @@ def _pack_buckets(vr_t, vr_s, vr_l, col, edge_ids, ne, widths,
         eid = np.where(in_row, raw_eid, ne).astype(np.int32)
         buckets.append(
             EllBucket(row_ids=conv(rows.astype(np.int32)),
-                      nbr=conv(nbr), edge_id=conv(eid),
+                      nbr=conv(nbr.reshape(-1)),
+                      edge_id=conv(eid.reshape(-1)),
                       width=w))
     return buckets
 
@@ -348,10 +494,35 @@ def _run_lengths(sorted_keys):
 
 def _pack_segment(es, ed, eid, ne, split, widths):
     """Pack one column segment's (src, local-dst, edge-id) triples —
-    already in CSR (src-major) order — into ELL buckets."""
+    already in CSR (src-major) order — into ELL buckets (host numpy;
+    the stacked device transfer happens once in _stack_segments)."""
     uniq, starts, counts = _run_lengths(es)
     return tuple(_pack_rows(uniq.astype(np.int32), starts, counts, ed, eid,
-                            ne, widths, split))
+                            ne, widths, split, as_numpy=True))
+
+
+def _stack_segments(seg_lists, nseg: int, sentinel: int) -> tuple:
+    """Pad per-segment bucket lists to uniform shapes per width and
+    stack on a leading [S] axis (one device transfer per width)."""
+    widths = sorted({b.width for bl in seg_lists for b in bl})
+    out = []
+    for w in widths:
+        per = [next((b for b in bl if b.width == w), None)
+               for bl in seg_lists]
+        rmax = max(max((b.rows for b in per if b is not None), default=0), 1)
+        row = np.zeros((nseg, rmax), np.int32)
+        nbr = np.zeros((nseg, rmax * w), np.int32)
+        eid = np.full((nseg, rmax * w), sentinel, np.int32)
+        for s, b in enumerate(per):
+            if b is None:
+                continue
+            r = b.rows
+            row[s, :r] = b.row_ids
+            nbr[s, :r * w] = b.nbr
+            eid[s, :r * w] = b.edge_id
+        out.append(EllBucket(row_ids=jnp.asarray(row), nbr=jnp.asarray(nbr),
+                             edge_id=jnp.asarray(eid), width=w))
+    return tuple(out)
 
 
 def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
@@ -402,7 +573,8 @@ def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
             # CSR order is preserved by the mask, so src stays grouped
             segs.append(_pack_segment(src[eid], dst[eid] - lo, eid, ne,
                                       split, widths))
-    return SegmentedEll(bounds=tuple(bounds), segs=tuple(segs))
+    return SegmentedEll(seg_rows=seg_rows, nv=g.nv, nseg=nseg,
+                        buckets=_stack_segments(segs, nseg, ne))
 
 
 def to_device_graph(

@@ -35,30 +35,27 @@ from graphaibench_tpu.ops.spmm import sddmm_dot, spmm_ell
 
 def _fused_fwd_pass(g: DeviceGraph, logits, edge_w, x, m, z):
     """One streaming pass: per-bucket normalized scores -> aggregation."""
+    from graphaibench_tpu.ops.device_graph import seg_sweep
+    from graphaibench_tpu.ops.lanes import group_sum_cols
     from graphaibench_tpu.ops.spmm import bucket_row_chunks
 
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     w_pad = jnp.concatenate([edge_w, jnp.zeros((1,), edge_w.dtype)])
     out = jnp.zeros((g.nv, x.shape[1]), x.dtype)
 
-    def accumulate(out, buckets, xs):
-        for b in buckets:
-            for lo, hi in bucket_row_chunks(b, xs.shape[1]):
-                rows = b.row_ids[lo:hi]
-                lb = l_pad[b.edge_id[lo:hi]]        # (r, W)
-                # row-indexed normalizers: r gathers, not ne
-                sb = jnp.exp(lb - m[rows][:, None]) * z[rows][:, None]
-                sb = sb * w_pad[b.edge_id[lo:hi]]
-                # padded slots: exp(-inf - m) = 0 (m finite, edge_w pad 0)
-                out = out.at[rows].add(
-                    jnp.einsum("rw,rwf->rf", sb, xs[b.nbr[lo:hi]]))
+    def bucket_fn(out, b, _pk, xs):
+        for lo, hi in bucket_row_chunks(b, xs.shape[1]):
+            rows, nbr, eid = b.slot_slice(lo, hi)
+            lb = l_pad[eid].reshape(-1, b.width)     # (r, W)
+            # row-indexed normalizers: r gathers, not ne
+            sb = jnp.exp(lb - m[rows][:, None]) * z[rows][:, None]
+            sb = (sb.reshape(-1) * w_pad[eid])       # flat (r*W,)
+            # padded slots: exp(-inf - m) = 0 (m finite, edge_w pad 0)
+            out = out.at[rows].add(
+                group_sum_cols(xs[nbr] * sb[:, None], b.width))
         return out
 
-    if g.seg_ell is not None:
-        for (lo, hi), buckets in zip(g.seg_ell.bounds, g.seg_ell.segs):
-            out = accumulate(out, buckets, x[lo:hi])
-        return out
-    return accumulate(out, g.ell, x)
+    return seg_sweep(g, out, (x,), bucket_fn)
 
 
 def _row_denom_ell(g: DeviceGraph, logits, m):
@@ -66,11 +63,14 @@ def _row_denom_ell(g: DeviceGraph, logits, m):
     no (ne,)-sized broadcast gather)."""
     from graphaibench_tpu.ops.device_graph import all_buckets
 
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     out = jnp.zeros((g.nv,), logits.dtype)
     for b in all_buckets(g):
-        eb = jnp.exp(l_pad[b.edge_id] - m[b.row_ids][:, None])
-        out = out.at[b.row_ids].add(eb.sum(axis=1))
+        lb = l_pad[b.edge_id].reshape(-1, b.width)       # (R, W)
+        eb = jnp.exp(lb - m[b.row_ids][:, None]).reshape(-1)
+        out = out.at[b.row_ids].add(group_reduce(eb, b.width, "sum"))
     return out
 
 
@@ -163,9 +163,6 @@ gat_attention_spmm.defvjp(_fwd, _bwd)
 # with the cuSPARSE csr2csc adjoint replaced by bucket reuse.
 
 
-from graphaibench_tpu.ops.device_graph import (
-    iter_buckets_sliced as _iter_buckets_sliced,
-)
 
 
 # the TPU gather engine is row-rate-bound (~250 M rows/s) for rows of
@@ -206,11 +203,18 @@ def _v2_gather_dtype(g: DeviceGraph, base):
 
 
 def _bucket_views(b, clo, chi):
-    whole = (clo, chi) == (0, b.nbr.shape[0])
-    rows = b.row_ids if whole else b.row_ids[clo:chi]
-    eid = b.edge_id if whole else b.edge_id[clo:chi]
-    nbr = b.nbr if whole else b.nbr[clo:chi]
-    return rows, eid, nbr
+    """Row-chunk views: (row_ids, edge_id 2-D (r, W) view, nbr FLAT).
+    The gather indexes with the flat ids (unpadded (r*W, c) output);
+    per-slot arithmetic happens in (r, W) space via _gather3."""
+    rows, nbrf, eidf = b.slot_slice(clo, chi)
+    return rows, eidf.reshape(-1, b.width), nbrf
+
+
+def _gather3(xs, nbr_flat, width):
+    """Flat gather + (r, W, c) view (free relayout for W >= 8; the
+    narrow W=4 bucket pays one 2x-padded copy — see ops.lanes)."""
+    gat = xs[nbr_flat]
+    return gat.reshape(gat.shape[0] // width, width, gat.shape[1])
 
 
 def _seq(acc, nbr, enable):
@@ -265,13 +269,18 @@ def _sr_rowmax(g: DeviceGraph, sr):
     """Per-row max of the neighbor-side attention scalar. The table is
     packed to 2 columns: a duplicated scalar column gathers 2x faster
     than a true scalar gather (row-rate-bound engine, measured)."""
+    from graphaibench_tpu.ops.device_graph import seg_sweep
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     sr2 = jnp.stack([sr, sr], axis=1)                     # (nv, 2)
     out = jnp.full((g.nv,), -jnp.inf, sr.dtype)
-    for b, (lo, hi) in _iter_buckets_sliced(g):
+
+    def bucket_fn(out, b, _pk, xs):
         vb = jnp.where(b.edge_id == g.ne, -jnp.inf,
-                       sr2[lo:hi][b.nbr][..., 0])
-        out = out.at[b.row_ids].max(vb.max(axis=1))
-    return out
+                       xs[b.nbr][:, 0])                   # flat (R*W,)
+        return out.at[b.row_ids].max(group_reduce(vb, b.width, "max"))
+
+    return seg_sweep(g, out, (sr2,), bucket_fn)
 
 
 def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
@@ -279,9 +288,8 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
     full gather row rate; a single >512 B gather is 3.7x slower), logits
     per slot from chunk 0, online exp, accumulate [sum eb*h | sum eb]
     in one scatter."""
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV, seg_sweep
     from graphaibench_tpu.ops.spmm import bucket_row_chunks
-
-    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
 
     seq = g.nv >= SEG_ELL_MIN_NV
     f = h.shape[1]
@@ -289,13 +297,13 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
     xa = jnp.concatenate([sr[:, None], h], axis=1).astype(gdt)  # (nv, 1+F)
     chunks = _col_chunks(f + 1, jnp.dtype(gdt).itemsize)
     acc = jnp.zeros((g.nv, f + 1), h.dtype)
-    for b, (lo, hi) in _iter_buckets_sliced(g):
-        xs = xa[lo:hi]
+
+    def bucket_fn(acc, b, _pk, xs):
         for clo, chi in bucket_row_chunks(
                 b, f + 1, _V2_STAGE_ELEMS if seq else None):
             rows, eid, nbr = _bucket_views(b, clo, chi)
             acc, nbr = _seq(acc, nbr, seq)
-            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
+            gs = [_gather3(xs[:, c0:c1], nbr, b.width) for c0, c1 in chunks]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             eb = jnp.exp(l - m[rows][:, None])
@@ -304,6 +312,9 @@ def _v2_fwd_pass(g: DeviceGraph, sl, sr, h, m):
             parts += [_wsum(eb, ga) for ga in gs[1:]]
             parts.append(eb.sum(axis=1)[:, None])
             acc = acc.at[rows].add(jnp.concatenate(parts, axis=1))
+        return acc
+
+    acc = seg_sweep(g, acc, (xa,), bucket_fn)
     z = acc[:, f]
     # floor must be a NORMAL f32: 1e-38 is subnormal and flushes to zero
     # under XLA, making zinv=inf and 0*inf=NaN on edgeless rows
@@ -340,7 +351,7 @@ def _v2_bwd(res, ct):
     from graphaibench_tpu.ops.spmm import _zero_cotangent, bucket_row_chunks
 
     g, sl, sr, h, m, zinv, out = res
-    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV, seg_sweep
 
     seq = g.nv >= SEG_ELL_MIN_NV
     f = h.shape[1]
@@ -353,14 +364,13 @@ def _v2_bwd(res, ct):
     gdt = _v2_gather_dtype(g, h.dtype)
     xa = jnp.concatenate([sr[:, None], h], axis=1).astype(gdt)
     chunks1 = _col_chunks(f + 1, jnp.dtype(gdt).itemsize)
-    dsl = jnp.zeros((g.nv,), sl.dtype)
-    for b, (lo, hi) in _iter_buckets_sliced(g):
-        xs = xa[lo:hi]
+
+    def b1_fn(dsl, b, _pk, xs):
         for clo, chi in bucket_row_chunks(
                 b, f + 1, _V2_STAGE_ELEMS if seq else None):
             rows, eid, nbr = _bucket_views(b, clo, chi)
             dsl, nbr = _seq(dsl, nbr, seq)
-            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
+            gs = [_gather3(xs[:, c0:c1], nbr, b.width) for c0, c1 in chunks1]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - m[rows][:, None]) * zinv[rows][:, None]
@@ -373,6 +383,9 @@ def _v2_bwd(res, ct):
             dlraw = p * (dsw - inner[rows][:, None])
             dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
             dsl = dsl.at[rows].add(dlraw.sum(axis=1))
+        return dsl
+
+    dsl = seg_sweep(g, jnp.zeros((g.nv,), sl.dtype), (xa,), b1_fn)
 
     # pass B2 (transpose role -- same buckets, symmetric graph): for
     # bucket rows j with neighbors i, edge (i -> j) carries
@@ -383,15 +396,14 @@ def _v2_bwd(res, ct):
         [sl[:, None], m[:, None], zinv[:, None], inner[:, None], ct],
         axis=1).astype(gdt)
     chunks2 = _col_chunks(f + 4, jnp.dtype(gdt).itemsize)
-    dh = jnp.zeros((g.nv, f), h.dtype)
-    dsr = jnp.zeros((g.nv,), sr.dtype)
-    for b, (lo, hi) in _iter_buckets_sliced(g):
-        ts = tb[lo:hi]
+
+    def b2_fn(carry, b, _pk, ts):
+        dh, dsr = carry
         for clo, chi in bucket_row_chunks(
                 b, f + 4, _V2_STAGE_ELEMS if seq else None):
             rows, eid, nbr = _bucket_views(b, clo, chi)
             dh, nbr = _seq(dh, nbr, seq)
-            gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]
+            gs = [_gather3(ts[:, c0:c1], nbr, b.width) for c0, c1 in chunks2]
             raw = gs[0][..., 0] + sr[rows][:, None]        # sl_i + sr_j
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - gs[0][..., 1]) * gs[0][..., 2]
@@ -409,6 +421,11 @@ def _v2_bwd(res, ct):
             dlraw = dlraw * jnp.where(raw > 0, 1.0, 0.2)
             dh = dh.at[rows].add(jnp.concatenate(dh_parts, axis=1))
             dsr = dsr.at[rows].add(dlraw.sum(axis=1))
+        return dh, dsr
+
+    dh, dsr = seg_sweep(
+        g, (jnp.zeros((g.nv, f), h.dtype), jnp.zeros((g.nv,), sr.dtype)),
+        (tb,), b2_fn)
 
     return (_zero_cotangent(g), dsl, dsr, dh)
 

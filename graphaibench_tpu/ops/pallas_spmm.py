@@ -101,15 +101,16 @@ def spmm_ell_pallas(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray,
     out = jnp.zeros((g.nv, x.shape[1]), dtype=x.dtype)
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
     for b in g.ell:
-        wb = w_pad[b.edge_id]
+        wb = w_pad[b.edge_id].reshape(-1, b.width)   # (R, W) view
         if b.width <= 256:
             # SMEM block rows must be a multiple of 8
             rt = max(8, (min(256, 2048 // b.width) // 8) * 8)
-            contrib = _run_bucket(b.nbr, wb, x, rt=rt, interpret=interpret)
+            contrib = _run_bucket(b.nbr2(), wb, x, rt=rt,
+                                  interpret=interpret)
         else:
             # rare very-wide hub buckets: SMEM blocks would be too big;
             # the XLA gather handles the few huge rows
-            contrib = jnp.einsum("rw,rwf->rf", wb, x[b.nbr])
+            contrib = jnp.einsum("rw,rwf->rf", wb, x[b.nbr2()])
         # add, not set: heavy rows split across virtual rows
         out = out.at[b.row_ids].add(contrib)
     return out

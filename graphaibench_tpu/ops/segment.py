@@ -15,9 +15,13 @@ from graphaibench_tpu.ops.device_graph import DeviceGraph, all_buckets
 
 def _row_reduce_ell(g: DeviceGraph, vals: jnp.ndarray, kind: str) -> jnp.ndarray:
     """Per-source-row reduction of per-edge values via the ELL buckets:
-    dense (R, W) reductions + one small scatter per bucket. On TPU this
-    replaces jax.ops.segment_max/_sum, whose big scatters cost ~125 ms
-    on a 4M-edge graph vs ~5 ms for the streaming ELL passes."""
+    flat slot gathers + lane-halving group reductions + one small
+    scatter per bucket. On TPU this replaces jax.ops.segment_max/_sum,
+    whose big scatters cost ~125 ms on a 4M-edge graph vs ~5 ms for the
+    streaming ELL passes; the flat slot layout keeps every temp
+    unpadded (ops.lanes)."""
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     if kind == "max":
         pad_val, init = -jnp.inf, jnp.full((g.nv,), -jnp.inf, vals.dtype)
     else:
@@ -25,11 +29,11 @@ def _row_reduce_ell(g: DeviceGraph, vals: jnp.ndarray, kind: str) -> jnp.ndarray
     v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
     out = init
     for b in all_buckets(g):
-        vb = v_pad[b.edge_id]                   # (R, W)
+        vb = group_reduce(v_pad[b.edge_id], b.width, kind)   # (R,)
         if kind == "max":
-            out = out.at[b.row_ids].max(vb.max(axis=1))
+            out = out.at[b.row_ids].max(vb)
         else:
-            out = out.at[b.row_ids].add(vb.sum(axis=1))
+            out = out.at[b.row_ids].add(vb)
     return out
 
 
@@ -93,18 +97,20 @@ def _pad_edge_vals(edge_vals: jnp.ndarray) -> jnp.ndarray:
 
 def pack_neighbor_edge_vals(g: DeviceGraph, edge_vals: jnp.ndarray,
                             kind: str = "min") -> tuple:
-    """Pre-gather per-edge values into the ELL slot layout, one (R, W)
-    array per bucket. Passing the result as ``neighbor_reduce``'s
+    """Pre-gather per-edge values into the ELL slot layout, one flat
+    (R*W,) array per bucket. Passing the result as ``neighbor_reduce``'s
     ``edge_vals`` skips the per-slot edge-id scalar gather on EVERY
     call — for fixpoint solvers (SSSP) that gather is loop-invariant
     and this hoists it explicitly instead of trusting XLA's while-loop
     LICM with a multi-MB gather. ``kind`` is accepted for call-site
     symmetry with ``neighbor_reduce`` but does not affect the packing
-    (pad slots are masked to the combine identity after the combine)."""
-    from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+    (pad slots are masked to the combine identity after the combine).
+    Aligned with ``device_graph.layout_buckets`` ([S]-stacked per width
+    on segmented graphs, flat per bucket on plain ELL)."""
+    from graphaibench_tpu.ops.device_graph import layout_buckets
 
     ev_pad = _pad_edge_vals(edge_vals)
-    return tuple(ev_pad[b.edge_id] for b, _ in iter_buckets_sliced(g))
+    return tuple(ev_pad[b.edge_id] for b in layout_buckets(g))
 
 
 def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
@@ -125,24 +131,28 @@ def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
     Requires ELL buckets (plain or column-segmented); N(i) here are the
     row-i neighbors in the bucket layout, i.e. out-neighbors — pass the
     reverse graph for in-neighbor pulls on directed graphs."""
+    from graphaibench_tpu.ops.device_graph import seg_sweep
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     ident = _ident(kind, vals.dtype)
     v2 = jnp.stack([vals, vals], axis=1)               # 2-col packed
     out = jnp.full((g.nv,), ident, vals.dtype)
     packed = isinstance(edge_vals, tuple)
     if edge_vals is not None and not packed:
         ev_pad = _pad_edge_vals(edge_vals)
-    from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
 
-    for i, (b, (lo, hi)) in enumerate(iter_buckets_sliced(g)):
-        vb = v2[lo:hi][b.nbr][..., 0]                  # (R, W)
+    def bucket_fn(out, b, pk, xs):
+        vb = xs[b.nbr][:, 0]                           # (R*W,) flat
         if edge_vals is not None:
-            eb = edge_vals[i] if packed else ev_pad[b.edge_id]
+            eb = pk if packed else ev_pad[b.edge_id]
             vb = vb * eb if kind == "sum" else vb + eb
         vb = jnp.where(b.edge_id == g.ne, ident, vb)
+        vb = group_reduce(vb, b.width, kind)           # (R,)
         if kind == "max":
-            out = out.at[b.row_ids].max(vb.max(axis=1))
-        elif kind == "min":
-            out = out.at[b.row_ids].min(vb.min(axis=1))
-        else:
-            out = out.at[b.row_ids].add(vb.sum(axis=1))
-    return out
+            return out.at[b.row_ids].max(vb)
+        if kind == "min":
+            return out.at[b.row_ids].min(vb)
+        return out.at[b.row_ids].add(vb)
+
+    return seg_sweep(g, out, (v2,), bucket_fn,
+                     edge_vals if packed else None)

@@ -87,10 +87,18 @@ _ELL_STAGE_ELEMS = 1 << 28
 
 def bucket_row_chunks(b, f: int, cap: int | None = None):
     """Row ranges of an ELL bucket bounded to ``cap`` (default
-    _ELL_STAGE_ELEMS) elements of gathered (rows, W, f) data per chunk."""
-    r = b.nbr.shape[0]
+    _ELL_STAGE_ELEMS) elements of gathered (rows*W, f) data per chunk.
+
+    ``f`` is counted at its TPU lane-padded width (minor dims round up
+    to 128): a (slots, 16) gather output physically occupies
+    (slots, 128), so capping on logical elements let narrow-feature
+    stages grow 8x past the budget — the round-3 rmat20 sharded OOM's
+    two largest allocations were exactly such gathers (F=16 = the
+    class-dim layer, 3.5-7 GB each at 8x expansion)."""
+    r = b.rows
     cap = cap or _ELL_STAGE_ELEMS
-    step = max(1, cap // max(b.width * f, 1))
+    f_pad = -(-max(f, 1) // 128) * 128
+    step = max(1, cap // max(b.width * f_pad, 1))
     return [(s, min(s + step, r)) for s in range(0, r, step)]
 
 
@@ -106,6 +114,25 @@ def _packed_view(w):
     return None
 
 
+def _bucket_accumulate(out, b, xs, wb_flat, f):
+    """Shared inner stage: flat gather + weight + group collapse +
+    scatter-add, chunked to the padded-lane stage budget."""
+    from graphaibench_tpu.ops.lanes import group_sum_cols
+
+    for clo, chi in bucket_row_chunks(b, f):
+        rows, nbr, _ = b.slot_slice(clo, chi)
+        wb = wb_flat if (clo, chi) == (0, b.rows) else \
+            wb_flat[clo * b.width:chi * b.width]
+        # flat gather: (rw, F) output, minor dim = the feature chunk —
+        # no narrow-lane padding (ops.lanes rationale)
+        prod = xs[nbr] * wb[:, None]
+        contrib = group_sum_cols(prod, b.width)
+        # add, not set: heavy rows are split across several virtual
+        # rows (same cost as set, measured)
+        out = out.at[rows].add(contrib.astype(out.dtype))
+    return out
+
+
 def _spmm_ell_cols(g: DeviceGraph, w, x: jnp.ndarray,
                    out_dtype=None) -> jnp.ndarray:
     """One <=512-byte column slice of the ELL SpMM. ``w`` is a (ne,)
@@ -113,32 +140,23 @@ def _spmm_ell_cols(g: DeviceGraph, w, x: jnp.ndarray,
     per-bucket view (static weights — skips the scalar edge-id gather,
     which at rmat20 scale cost ~3x the feature gather; see
     PackedEdgeW). ``out_dtype`` is the accumulator dtype when ``x`` was
-    rounded for gathering (bf16-at-scale policy)."""
-    from graphaibench_tpu.ops.device_graph import iter_buckets_sliced
+    rounded for gathering (bf16-at-scale policy). At scale the bucket
+    sweep is a lax.scan over segments (device_graph.seg_sweep — the
+    remote-compile-ceiling fix); padded scan rows contribute nothing
+    (sentinel edge ids gather weight zero)."""
+    from graphaibench_tpu.ops.device_graph import seg_sweep
 
     packed = _packed_view(w)
     out = jnp.zeros((g.nv, x.shape[1]), dtype=out_dtype or x.dtype)
-    if packed is None:
-        w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # sentinel
-    for i, (b, (lo, hi)) in enumerate(iter_buckets_sliced(g)):
-        # column-segmented layout: every gather stays inside one x slice
-        # (the <=64 MB fast-gather window, measured round 2)
-        xs = x if (lo, hi) == (0, g.nv) else x[lo:hi]
-        chunks = bucket_row_chunks(b, x.shape[1])
-        for clo, chi in chunks:
-            whole = len(chunks) == 1
-            nbr = b.nbr if whole else b.nbr[clo:chi]
-            rows = b.row_ids if whole else b.row_ids[clo:chi]
-            if packed is None:
-                eid = b.edge_id if whole else b.edge_id[clo:chi]
-                wb = w_pad[eid]
-            else:
-                wb = packed[i] if whole else packed[i][clo:chi]
-            contrib = jnp.einsum("rw,rwf->rf", wb, xs[nbr])
-            # add, not set: heavy rows are split across several virtual
-            # rows (same cost as set, measured)
-            out = out.at[rows].add(contrib)
-    return out
+    w_pad = (jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+             if packed is None else None)
+    f = x.shape[1]
+
+    def bucket_fn(out, b, pk, xs):
+        wb = w_pad[b.edge_id] if pk is None else pk
+        return _bucket_accumulate(out, b, xs, wb, f)
+
+    return seg_sweep(g, out, (x,), bucket_fn, packed)
 
 
 def spmm_dense(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

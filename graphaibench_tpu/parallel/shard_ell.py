@@ -139,19 +139,19 @@ def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
     for w in widths:
         per = [next((b for b in bl if b.width == w), None)
                for bl in bucket_lists]
-        rmax = max((b.row_ids.shape[0] for b in per if b is not None),
-                   default=0)
+        rmax = max((b.rows for b in per if b is not None), default=0)
         rmax = max(rmax, 1)
         row = np.zeros((num_shards, rmax), np.int32)
-        nbr = np.zeros((num_shards, rmax, w), np.int32)
-        eid = np.full((num_shards, rmax, w), sentinel, np.int32)
+        # flat (P, rmax*w) slot arrays — the EllBucket storage layout
+        nbr = np.zeros((num_shards, rmax * w), np.int32)
+        eid = np.full((num_shards, rmax * w), sentinel, np.int32)
         for p, b in enumerate(per):
             if b is None:
                 continue
-            r = b.row_ids.shape[0]
+            r = b.rows
             row[p, :r] = b.row_ids
-            nbr[p, :r] = b.nbr
-            eid[p, :r] = b.edge_id
+            nbr[p, :r * w] = b.nbr
+            eid[p, :r * w] = b.edge_id
         out.append(EllBucket(row_ids=row, nbr=nbr, edge_id=eid, width=w))
     return tuple(out)
 
@@ -254,8 +254,8 @@ def build_shard_ell(sg, split: Optional[int] = None,
 class ShardPackedW:
     """Pre-gathered static edge weights for the sharded kernels — the
     stacked twin of ops.device_graph.PackedEdgeW. ``fwd[i]`` aligns with
-    se.fwd[i] (and ``t`` with se.trans): (P, R, W) stacked, or (R, W)
-    after local stripping. Kills the runtime w_pad[edge_id] scalar
+    se.fwd[i] (and ``t`` with se.trans): (P, R*W) stacked flat, or
+    (R*W,) after local stripping. Kills the runtime w_pad[edge_id] scalar
     gather (measured: half row rate AND the slow >64 MB window at
     million-edge shards) from GCN/SAGE forward+backward aggregation."""
 
@@ -280,10 +280,8 @@ def pack_shard_values(se: ShardEll, w: np.ndarray) -> ShardPackedW:
         out = []
         for bk in buckets:
             b, _ = _unwrap(bk)
-            eid = np.asarray(b.edge_id)          # (P, R, W)
-            flat = np.take_along_axis(w_pad, eid.reshape(eid.shape[0], -1),
-                                      axis=1)
-            out.append(flat.reshape(eid.shape))
+            eid = np.asarray(b.edge_id)          # (P, R*W) flat
+            out.append(np.take_along_axis(w_pad, eid, axis=1))
         return tuple(out)
 
     return ShardPackedW(fwd=pk(se.fwd), t=pk(se.trans))
@@ -313,15 +311,17 @@ def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
         pad_val, init = -jnp.inf, jnp.full((n_rows,), -jnp.inf, vals.dtype)
     else:
         pad_val, init = 0.0, jnp.zeros((n_rows,), vals.dtype)
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
     out = init
     for bk in buckets:
         b, _ = _unwrap(bk)   # slot reductions ignore the gather slice
-        vb = v_pad[b.edge_id]
+        vb = group_reduce(v_pad[b.edge_id], b.width, kind)
         if kind == "max":
-            out = out.at[b.row_ids].max(vb.max(axis=1))
+            out = out.at[b.row_ids].max(vb)
         else:
-            out = out.at[b.row_ids].add(vb.sum(axis=1))
+            out = out.at[b.row_ids].add(vb)
     return out
 
 
@@ -336,6 +336,8 @@ def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
         lo, hi = jnp.finfo(x_ext.dtype).min, jnp.finfo(x_ext.dtype).max
     else:
         lo, hi = jnp.iinfo(x_ext.dtype).min, jnp.iinfo(x_ext.dtype).max
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     ident = {"min": hi, "max": lo, "sum": 0}[kind]
     ident = jnp.asarray(ident, x_ext.dtype)
     out = jnp.full((n_out,), ident, x_ext.dtype)
@@ -343,12 +345,13 @@ def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
         b, sl = _unwrap(bk)
         xs = x_ext if sl is None else x_ext[sl[0]:sl[1]]
         vb = jnp.where(b.edge_id == sentinel, ident, xs[b.nbr])
+        vb = group_reduce(vb, b.width, kind)
         if kind == "min":
-            out = out.at[b.row_ids].min(vb.min(axis=1))
+            out = out.at[b.row_ids].min(vb)
         elif kind == "max":
-            out = out.at[b.row_ids].max(vb.max(axis=1))
+            out = out.at[b.row_ids].max(vb)
         else:
-            out = out.at[b.row_ids].add(vb.sum(axis=1))
+            out = out.at[b.row_ids].add(vb)
     return out
 
 
@@ -366,6 +369,8 @@ def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
     else:
         ii = jnp.iinfo(x_ext.dtype)
         ident = {"min": ii.max, "max": ii.min}[kind]
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     ident = jnp.asarray(ident, x_ext.dtype)
     out = jnp.full((n_out,), ident, x_ext.dtype)
     for i, bk in enumerate(buckets):
@@ -373,10 +378,11 @@ def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
         xs = x_ext if sl is None else x_ext[sl[0]:sl[1]]
         vb = jnp.where(b.edge_id == sentinel, ident,
                        xs[b.nbr] + packed[i].astype(x_ext.dtype))
+        vb = group_reduce(vb, b.width, kind)
         if kind == "min":
-            out = out.at[b.row_ids].min(vb.min(axis=1))
+            out = out.at[b.row_ids].min(vb)
         else:
-            out = out.at[b.row_ids].max(vb.max(axis=1))
+            out = out.at[b.row_ids].max(vb)
     return out
 
 
@@ -387,6 +393,8 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
     their static x slice (column-segmented fast-gather window). At
     scale the gathered operand rounds to bf16 (shared policy of
     ``_shard_gather_dtype``); accumulation stays in the input dtype."""
+    from graphaibench_tpu.ops.lanes import group_sum_cols
+
     base = x.dtype
     x = x.astype(_shard_gather_dtype(x.shape[0], base))
     out = jnp.zeros((n_out, x.shape[1]), base)
@@ -394,12 +402,10 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
         b, sl = _unwrap(bk)
         xs = x if sl is None else x[sl[0]:sl[1]]
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
-            whole = (lo, hi) == (0, b.nbr.shape[0])
-            rows = b.row_ids if whole else b.row_ids[lo:hi]
-            eid = b.edge_id if whole else b.edge_id[lo:hi]
-            nbr = b.nbr if whole else b.nbr[lo:hi]
+            rows, nbr, eid = b.slot_slice(lo, hi)
+            prod = xs[nbr] * w_pad[eid][:, None]       # flat (rw, F)
             out = out.at[rows].add(
-                jnp.einsum("rw,rwf->rf", w_pad[eid], xs[nbr]))
+                group_sum_cols(prod, b.width).astype(base))
     return out
 
 
@@ -408,18 +414,20 @@ def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
     """out[r] += sum_w packed[i] * x[nbr]: the pre-gathered-weight twin
     of _ell_apply — no per-slot edge-id gather at all. Gathered operand
     rounds to bf16 at scale (same policy as _ell_apply)."""
+    from graphaibench_tpu.ops.lanes import group_sum_cols
+
     base = x.dtype
     x = x.astype(_shard_gather_dtype(x.shape[0], base))
     out = jnp.zeros((n_out, x.shape[1]), base)
     for i, bk in enumerate(buckets):
         b, sl = _unwrap(bk)
         xs = x if sl is None else x[sl[0]:sl[1]]
+        w = b.width
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
-            whole = (lo, hi) == (0, b.nbr.shape[0])
-            rows = b.row_ids if whole else b.row_ids[lo:hi]
-            nbr = b.nbr if whole else b.nbr[lo:hi]
-            wb = packed[i] if whole else packed[i][lo:hi]
-            out = out.at[rows].add(jnp.einsum("rw,rwf->rf", wb, xs[nbr]))
+            rows, nbr, _ = b.slot_slice(lo, hi)
+            wb = packed[i][lo * w:hi * w]              # flat (rw,)
+            prod = xs[nbr] * wb[:, None]
+            out = out.at[rows].add(group_sum_cols(prod, w).astype(base))
     return out
 
 
@@ -519,12 +527,15 @@ slot_sddmm_add.defvjp(_slot_sddmm_add_fwd, _slot_sddmm_add_bwd)
 def _norm_consts_local(se: ShardEll, logits, n_out):
     m = ell_row_reduce(se.fwd, logits, n_out, "max")
     m = jnp.where(jnp.isfinite(m), m, 0.0)
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     denom = jnp.zeros((n_out,), logits.dtype)
     for bk in se.fwd:
         b, _ = _unwrap(bk)
-        eb = jnp.exp(l_pad[b.edge_id] - m[b.row_ids][:, None])
-        denom = denom.at[b.row_ids].add(eb.sum(axis=1))
+        lb = l_pad[b.edge_id].reshape(-1, b.width)
+        eb = jnp.exp(lb - m[b.row_ids][:, None]).reshape(-1)
+        denom = denom.at[b.row_ids].add(group_reduce(eb, b.width, "sum"))
     # NORMAL f32 floor: 1e-38 is subnormal and flushes to zero under XLA,
     # making z=inf on edgeless rows (CLAUDE.md round-2 rule)
     z = 1.0 / jnp.maximum(denom, 1e-30)
@@ -544,18 +555,19 @@ def gat_fused_local(n_out: int, se: ShardEll, logits: jnp.ndarray,
 
 
 def _gat_fwd_pass(se, logits, x, m, z, n_out):
+    from graphaibench_tpu.ops.lanes import group_sum_cols
+
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     out = jnp.zeros((n_out, x.shape[1]), x.dtype)
     for bk in se.fwd:
         b, sl = _unwrap(bk)
         xs = x if sl is None else x[sl[0]:sl[1]]
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
-            whole = (lo, hi) == (0, b.nbr.shape[0])
-            rows = b.row_ids if whole else b.row_ids[lo:hi]
-            eid = b.edge_id if whole else b.edge_id[lo:hi]
-            nbr = b.nbr if whole else b.nbr[lo:hi]
-            sb = jnp.exp(l_pad[eid] - m[rows][:, None]) * z[rows][:, None]
-            out = out.at[rows].add(jnp.einsum("rw,rwf->rf", sb, xs[nbr]))
+            rows, nbr, eid = b.slot_slice(lo, hi)
+            lb = l_pad[eid].reshape(-1, b.width)
+            sb = jnp.exp(lb - m[rows][:, None]) * z[rows][:, None]
+            prod = xs[nbr] * sb.reshape(-1)[:, None]
+            out = out.at[rows].add(group_sum_cols(prod, b.width))
     return out
 
 
@@ -602,6 +614,7 @@ gat_fused_local.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 # can never silently diverge from it
 from graphaibench_tpu.ops.fused_gat import (  # noqa: E402
     _col_chunks as _col_chunks_local,
+    _gather3,
     _V2_STAGE_ELEMS as _V2_STAGE_ELEMS_LOCAL,
 )
 
@@ -628,13 +641,15 @@ def _shard_stage_cap(n_gather_rows: int):
 def _sr_rowmax_local(se: ShardEll, sr_ext, n_out, sent):
     """Exact per-local-row max of the neighbor-side attention scalar
     (2-col packed table: scalar gathers run at half the row rate)."""
+    from graphaibench_tpu.ops.lanes import group_reduce
+
     sr2 = jnp.stack([sr_ext, sr_ext], axis=1)
     out = jnp.full((n_out,), -jnp.inf, sr_ext.dtype)
     for bk in se.fwd:
         b, sl_ = _unwrap(bk)
         tb = sr2 if sl_ is None else sr2[sl_[0]:sl_[1]]
-        vb = jnp.where(b.edge_id == sent, -jnp.inf, tb[b.nbr][..., 0])
-        out = out.at[b.row_ids].max(vb.max(axis=1))
+        vb = jnp.where(b.edge_id == sent, -jnp.inf, tb[b.nbr][:, 0])
+        out = out.at[b.row_ids].max(group_reduce(vb, b.width, "max"))
     return out
 
 
@@ -652,12 +667,11 @@ def _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent):
         b, sl_ = _unwrap(bk)
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 1, cap):
-            whole = (clo, chi) == (0, b.nbr.shape[0])
-            rows = b.row_ids if whole else b.row_ids[clo:chi]
-            eid = b.edge_id if whole else b.edge_id[clo:chi]
-            nbr = b.nbr if whole else b.nbr[clo:chi]
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            eid = eid.reshape(-1, b.width)
             acc, nbr = _seq_local(acc, nbr, h_ext.shape[0])
-            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks]
+            gs = [_gather3(xs[:, c0:c1], nbr, b.width)
+                  for c0, c1 in chunks]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             eb = jnp.exp(l - m[rows][:, None])
@@ -705,12 +719,11 @@ def _gat_v2_bwd_local(n_out, res, ct):
         b, sl_ = _unwrap(bk)
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 1, cap):
-            whole = (clo, chi) == (0, b.nbr.shape[0])
-            rows = b.row_ids if whole else b.row_ids[clo:chi]
-            eid = b.edge_id if whole else b.edge_id[clo:chi]
-            nbr = b.nbr if whole else b.nbr[clo:chi]
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            eid = eid.reshape(-1, b.width)
             dsl, nbr = _seq_local(dsl, nbr, h_ext.shape[0])
-            gs = [xs[:, c0:c1][nbr] for c0, c1 in chunks1]
+            gs = [_gather3(xs[:, c0:c1], nbr, b.width)
+                  for c0, c1 in chunks1]
             raw = sl[rows][:, None] + gs[0][..., 0]
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - m[rows][:, None]) * zinv[rows][:, None]
@@ -738,12 +751,11 @@ def _gat_v2_bwd_local(n_out, res, ct):
         b, sl_ = _unwrap(bk)
         ts = tb if sl_ is None else tb[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 4, cap):
-            whole = (clo, chi) == (0, b.nbr.shape[0])
-            rows = b.row_ids if whole else b.row_ids[clo:chi]
-            eid = b.edge_id if whole else b.edge_id[clo:chi]
-            nbr = b.nbr if whole else b.nbr[clo:chi]
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            eid = eid.reshape(-1, b.width)
             dh, nbr = _seq_local(dh, nbr, h_ext.shape[0])
-            gs = [ts[:, c0:c1][nbr] for c0, c1 in chunks2]
+            gs = [_gather3(ts[:, c0:c1], nbr, b.width)
+                  for c0, c1 in chunks2]
             raw = gs[0][..., 0] + sr_ext[rows][:, None]      # sl_i + sr_j
             l = jnp.where(raw > 0, raw, 0.2 * raw)
             p = jnp.exp(l - gs[0][..., 1]) * gs[0][..., 2]

@@ -23,6 +23,30 @@ import pytest  # noqa: E402
 
 REFERENCE_INPUTS = "/root/reference/inputs"
 
+# Two test tiers (round-3 verdict: the full suite can exceed 30 min
+# under host load, and a suite nobody runs stops being run):
+#   quick: pytest -m "not slow"   (~5 min target on this machine)
+#   full:  pytest                 (~15-30 min, load-dependent)
+# Modules here are mesh-heavy (8-device shard_map compiles), spawn
+# subprocesses, or compile dozens of jit variants; everything they
+# guard also has thin coverage in the quick tier (test_seg_scan,
+# test_gnn, test_native).
+_SLOW_MODULES = {
+    "test_ops",
+    "test_shard_ell",
+    "test_parallel",
+    "test_multiprocess",
+    "test_dp_saint",
+    "test_bench_harness",
+    "test_reference_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.purebasename in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 def fixture_path(name: str) -> str:
     return os.path.join(REFERENCE_INPUTS, name)
