@@ -234,10 +234,13 @@ def _varintgb_pass(hexv, pos, n_groups, deg, base, col, trip: int, ne: int):
     return col.at[slots].set(av, mode="drop")
 
 
-def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
-    """Decode a VarintGB-compressed graph on device. Raises ValueError
-    when a vertex's group count exceeds the trip grid (callers fall back
-    to the host decoder, like the CGR path)."""
+def varintgb_device_prep(vg: VbyteGraph) -> dict:
+    """Metadata phase of the device VarintGB decode (stream upload +
+    host-derived lane/bucket tables, device-put once); feeds
+    ``varintgb_device_run`` with no further host work so the
+    decode-proper is separately timeable (decode_bench
+    --device-resident). Raises ValueError when a vertex's group count
+    exceeds the trip grid (callers fall back to the host decoder)."""
     if vg.scheme != "varintgb":
         raise ValueError(f"expected varintgb, got {vg.scheme!r}")
     nv, ne = vg.nv, vg.ne
@@ -262,7 +265,7 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
         raise ValueError("device varintgb decode: degree exceeds the "
                          f"trip grid ({4 * grid[-1]})")
     lanes = np.nonzero(deg > 0)[0]
-    col = jnp.zeros((max(ne, 1),), jnp.int32)
+    buckets = []
     if len(lanes):
         # +4 skips the per-vertex count word (offsets count words)
         pos = (np.asarray(vg.offsets, dtype=np.int64)[lanes] * 4 + 4)
@@ -284,18 +287,37 @@ def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
                 continue
             n_pad = _pow2_pad(len(sel))
             pd = np.zeros(n_pad - len(sel), np.int32)
-            col = _varintgb_pass(
-                hexv,
-                jnp.asarray(np.concatenate([pos[sel], pd])),
-                jnp.asarray(np.concatenate([ngl[sel], pd])),
-                jnp.asarray(np.concatenate([degl[sel], pd])),
-                jnp.asarray(np.concatenate([base[sel], pd])),
-                col, trip, max(ne, 1))
+            buckets.append({
+                "trip": trip,
+                "pos": jnp.asarray(np.concatenate([pos[sel], pd])),
+                "ngl": jnp.asarray(np.concatenate([ngl[sel], pd])),
+                "degl": jnp.asarray(np.concatenate([degl[sel], pd])),
+                "base": jnp.asarray(np.concatenate([base[sel], pd])),
+            })
         if lo != len(lanes):
             raise ValueError("device varintgb decode: lanes exceed the "
                              "trip grid")
-    return CSRGraph(row_ptr=row_ptr,
-                    col_idx=np.asarray(col[:ne], dtype=np.int32))
+    return {"hexv": hexv, "buckets": buckets, "row_ptr": row_ptr, "ne": ne}
+
+
+def varintgb_device_run(prep: dict) -> jnp.ndarray:
+    """Decode-proper given a prep dict: the bucketed group passes, pure
+    device work. Returns the (ne,) col_idx DEVICE array."""
+    ne = prep["ne"]
+    col = jnp.zeros((max(ne, 1),), jnp.int32)
+    for bk in prep["buckets"]:
+        col = _varintgb_pass(prep["hexv"], bk["pos"], bk["ngl"],
+                             bk["degl"], bk["base"], col, bk["trip"],
+                             max(ne, 1))
+    return col[:ne]
+
+
+def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:
+    """Decode a VarintGB-compressed graph on device (prep + run)."""
+    prep = varintgb_device_prep(vg)
+    col = varintgb_device_run(prep)
+    return CSRGraph(row_ptr=prep["row_ptr"],
+                    col_idx=np.asarray(col, dtype=np.int32))
 
 
 def decode_hybrid_device(hg) -> CSRGraph:

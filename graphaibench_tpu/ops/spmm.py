@@ -48,24 +48,37 @@ def spmm_coo(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 _GATHER_ROW_BYTES = 512
 
 
+# Gathered-operand dtype for the PLAIN/SEG SpMM feature path: f32.
+# Round 3's rmat20 ablation (tools/results/rmat20_sweep.json) showed
+# the bf16-at-scale rounding is a measured PESSIMIZATION here — plain
+# 1243 ms (bf16) vs 1106 ms (f32), seg128k 781 vs 707 ms (f32 10-12%
+# faster): the SpMM gathers whole 512 B rows either way (row-rate-bound
+# engine), so halving bytes buys nothing and the convert pass costs.
+# GAT v2 keeps bf16 (fused_gat._v2_gather_dtype): its packed (1+F)-col
+# table only fits ONE <=512 B gather chunk at bf16. GAB_SPMM_BF16=1
+# re-enables rounding here for ablations.
+def _spmm_gather_dtype(g: DeviceGraph, base):
+    import os
+
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    env = os.environ.get("GAB_SPMM_BF16", "").strip().lower()
+    want = env in ("1", "true", "on", "yes")
+    if want and g.nv >= SEG_ELL_MIN_NV and base == jnp.float32:
+        return jnp.bfloat16
+    return base
+
+
 def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Degree-bucketed ELL path. Requires g.ell buckets. Wide feature
     matrices are processed in <=512-byte column slices (the measured
-    sweet spot of the TPU gather unit).
-
-    On LARGE graphs (the seg-ELL regime) the gathered operand rounds to
-    bf16 — the shared policy of ``fused_gat._v2_gather_dtype``: at F=128
-    f32 rows sit exactly at the 512-byte gather cliff and each 64 MB
-    x-segment fills the measured fast-locality window; bf16 halves both.
-    Accumulation stays in the caller's dtype (einsum promotes), so only
-    the gathered feature values round. Small graphs keep exact f32
-    (reference-parity regime)."""
+    sweet spot of the TPU gather unit). Gathered operands stay f32
+    (see _spmm_gather_dtype: bf16 rounding measured 10-12% SLOWER on
+    this path at rmat20)."""
     assert g.ell or g.seg_ell is not None, \
         "DeviceGraph built without ELL buckets"
-    from graphaibench_tpu.ops.fused_gat import _v2_gather_dtype
-
     base = x.dtype
-    gdt = _v2_gather_dtype(g, base)
+    gdt = _spmm_gather_dtype(g, base)
     if gdt != base:
         x = x.astype(gdt)
     f = x.shape[1]

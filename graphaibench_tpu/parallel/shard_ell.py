@@ -396,7 +396,7 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
     from graphaibench_tpu.ops.lanes import group_sum_cols
 
     base = x.dtype
-    x = x.astype(_shard_gather_dtype(x.shape[0], base))
+    x = x.astype(_shard_spmm_gather_dtype(x.shape[0], base))
     out = jnp.zeros((n_out, x.shape[1]), base)
     for bk in buckets:
         b, sl = _unwrap(bk)
@@ -417,7 +417,7 @@ def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
     from graphaibench_tpu.ops.lanes import group_sum_cols
 
     base = x.dtype
-    x = x.astype(_shard_gather_dtype(x.shape[0], base))
+    x = x.astype(_shard_spmm_gather_dtype(x.shape[0], base))
     out = jnp.zeros((n_out, x.shape[1]), base)
     for i, bk in enumerate(buckets):
         b, sl = _unwrap(bk)
@@ -620,14 +620,30 @@ from graphaibench_tpu.ops.fused_gat import (  # noqa: E402
 
 
 def _shard_gather_dtype(n_gather_rows: int, base):
-    """bf16 gathered operands at scale, same policy as
-    ops.fused_gat._v2_gather_dtype (one <=512 B chunk instead of two,
-    gather views halved back under the 64 MB locality cliff)."""
+    """bf16 gathered operands at scale for the fused GAT v2 locals,
+    same policy as ops.fused_gat._v2_gather_dtype (one <=512 B chunk
+    instead of two, gather views halved back under the 64 MB locality
+    cliff)."""
     from graphaibench_tpu.ops import fused_gat as _fg
     from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
 
     if (_fg.V2_GATHER_BF16 and n_gather_rows >= SEG_ELL_MIN_NV
             and base == jnp.float32):
+        return jnp.bfloat16
+    return base
+
+
+def _shard_spmm_gather_dtype(n_gather_rows: int, base):
+    """The SpMM twins follow ops.spmm's policy instead: f32 — bf16
+    rounding measured 10-12% SLOWER on the SpMM path at rmat20
+    (tools/results/rmat20_sweep.json); GAB_SPMM_BF16=1 re-enables."""
+    import os
+
+    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
+
+    env = os.environ.get("GAB_SPMM_BF16", "").strip().lower()
+    if (env in ("1", "true", "on", "yes")
+            and n_gather_rows >= SEG_ELL_MIN_NV and base == jnp.float32):
         return jnp.bfloat16
     return base
 

@@ -93,6 +93,70 @@ def main():
     timed("hybrid", lambda g: hybrid.encode_graph(g, threshold=32),
           decode_hybrid_device)
 
+    # --- device-resident protocol: stream + metadata already ON device
+    # (uploaded/prepped once at load, like the reference's resident
+    # compressed graphs feeding analytics kernels); only the decode-
+    # proper is timed, forcing with a 1-element fetch. The end-to-end
+    # numbers above include the tunnel's ~0.2 s/MB upload and the full
+    # col_idx download, which dominate them.
+    import jax.numpy as jnp
+
+    from graphaibench_tpu.compress.cgr_device import (
+        cgr_device_prep,
+        cgr_device_run,
+    )
+    from graphaibench_tpu.compress.device_decode import (
+        streamvbyte_decode_device,
+        varintgb_device_prep,
+        varintgb_device_run,
+    )
+
+    def timed_resident(name, make_call):
+        """make_call(g) -> zero-arg decode closure over device-resident
+        inputs; warm once, then median-of-3 on fresh streams."""
+        calls = [make_call(g) for g in gs]
+        _ = np.asarray(calls[0]()[:1])              # compile + warm
+        ts = []
+        for call in calls[1:]:
+            t0 = time.perf_counter()
+            out = call()
+            _ = np.asarray(out[:1])                 # force, tiny fetch
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts)[1]
+        results[name] = {"s": dt, "edges_per_s": g0.ne / dt}
+        print(f"  {name}: {dt*1e3:.1f} ms = {g0.ne/dt/1e6:.1f} M edges/s",
+              flush=True)
+
+    def cgr_resident(cfg):
+        def make(g):
+            prep = cgr_device_prep(cgr.encode_graph(g, cfg))
+            return lambda: cgr_device_run(prep, validate=False)[1]
+        return make
+
+    timed_resident("cgr_resident", cgr_resident(cgr.CgrConfig()))
+    timed_resident(
+        "cgr_interval_resident",
+        cgr_resident(cgr.CgrConfig(use_interval=True, itv_seg_len=64)))
+
+    def svb_resident(g):
+        vg = vbyte.encode_graph(g, "streamvbyte")
+        pad = (-len(vg.data)) % 4 + 8
+        words = jnp.asarray(
+            np.frombuffer(vg.data + b"\x00" * pad, dtype=np.uint32))
+        woff = jnp.asarray(vg.offsets.astype(np.int32))
+        deg = jnp.asarray(vg.degrees.astype(np.int32))
+        nv, ne = vg.nv, vg.ne
+        return lambda: streamvbyte_decode_device(
+            words, woff, deg, nv=nv, ne=ne)[1]
+
+    timed_resident("streamvbyte_resident", svb_resident)
+
+    def vgb_resident(g):
+        prep = varintgb_device_prep(vbyte.encode_graph(g, "varintgb"))
+        return lambda: varintgb_device_run(prep)
+
+    timed_resident("varintgb_resident", vgb_resident)
+
     print(json.dumps({"metric": "device_decode_edges_per_s",
                       "graph": f"rmat{scale} ne={g0.ne}",
                       "schemes": results}))
