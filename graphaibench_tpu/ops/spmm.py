@@ -129,17 +129,33 @@ def _packed_view(w):
 
 def _bucket_accumulate(out, b, xs, wb_flat, f):
     """Shared inner stage: flat gather + weight + group collapse +
-    scatter-add, chunked to the padded-lane stage budget."""
+    scatter-add, chunked to the padded-lane stage budget.
+
+    Two collapse kernels, GAB_SPMM_KERNEL={flat,einsum} (trace-time):
+      * flat  — multiply then ops.lanes.group_sum_cols tree adds.
+      * einsum — (r, W) x (r, W, F) contraction on RESHAPED views of
+        the flat arrays (the pre-flat round-3 kernel; the reshapes are
+        transient, so the at-rest 32x-padding fix is unaffected).
+    Chip A/B at rmat20 decides the default (tools/spmm_kernel_ab.py)."""
+    import os
+
     from graphaibench_tpu.ops.lanes import group_sum_cols
 
+    use_einsum = os.environ.get(
+        "GAB_SPMM_KERNEL", "einsum").strip().lower() == "einsum"
+    w = b.width
     for clo, chi in bucket_row_chunks(b, f):
         rows, nbr, _ = b.slot_slice(clo, chi)
         wb = wb_flat if (clo, chi) == (0, b.rows) else \
-            wb_flat[clo * b.width:chi * b.width]
+            wb_flat[clo * w:chi * w]
         # flat gather: (rw, F) output, minor dim = the feature chunk —
         # no narrow-lane padding (ops.lanes rationale)
-        prod = xs[nbr] * wb[:, None]
-        contrib = group_sum_cols(prod, b.width)
+        gat = xs[nbr]
+        if use_einsum:
+            contrib = jnp.einsum("rw,rwf->rf", wb.reshape(-1, w),
+                                 gat.reshape(-1, w, gat.shape[1]))
+        else:
+            contrib = group_sum_cols(gat * wb[:, None], w)
         # add, not set: heavy rows are split across several virtual
         # rows (same cost as set, measured)
         out = out.at[rows].add(contrib.astype(out.dtype))

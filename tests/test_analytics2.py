@@ -99,3 +99,20 @@ def test_distributed_tc_rmat():
     g = rmat(8, 8, seed=2)
     mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
     assert distributed_triangle_count(mesh, g) == triangle_count(g)
+
+
+def test_distributed_tc_2d_blocks(citeseer):
+    """partition_2d consumer (graph_partition.cc:276-360 semantics): the
+    2-D edge-block TC — device (i, j) holds only block (i, j)'s edges
+    plus two O(nv/s)-row neighbor-table slices — must match the golden
+    and the 1-D solver exactly."""
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.analytics import triangle_count
+    from graphaibench_tpu.parallel.dist_analytics import (
+        distributed_triangle_count_2d,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))  # -> 2x2 grid
+    assert distributed_triangle_count_2d(mesh, citeseer) == 1166
+    g = T.symmetrize(rmat(9, 7, seed=5))
+    assert distributed_triangle_count_2d(mesh, g) == triangle_count(g)
