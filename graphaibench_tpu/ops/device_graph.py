@@ -110,26 +110,35 @@ class SegmentedEll:
     per step, shrinking program size from O(S * buckets) gather stages
     to O(buckets): the remote-compile program-size ceiling that locked
     rmat20 training out of this layout in round 3 scales with unrolled
-    stage count, not with data."""
+    stage count, not with data.
 
-    seg_rows: int                  # static column-range width
-    nv: int                        # static gather-table rows (last range
-    #                                may be shorter than seg_rows)
-    nseg: int                      # static segment count
+    ``bounds`` are EQUAL-EDGE column ranges (width-capped), not equal
+    vertex ranges: power-law graphs concentrate edges in the low-id
+    columns, so equal-vertex segments gave per-width row counts varying
+    ~10x across segments and max-padding blew the stacked slots to 3.2x
+    ne at rmat20 (seg_pad_audit.json) — vs ~1.2x with balanced edges.
+    The scan body handles the varying range widths with one
+    dynamic-slice x window of ``window`` rows per step."""
+
+    bounds: tuple                  # static ((lo, hi), ...) column ranges
+    nv: int                        # static gather-table rows
     buckets: tuple                 # tuple[EllBucket, ...], leading [S]
 
     def tree_flatten(self):
-        return (self.buckets,), (self.seg_rows, self.nv, self.nseg)
+        return (self.buckets,), (self.bounds, self.nv)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(seg_rows=aux[0], nv=aux[1], nseg=aux[2],
-                   buckets=children[0])
+        return cls(bounds=aux[0], nv=aux[1], buckets=children[0])
 
     @property
-    def bounds(self) -> tuple:
-        return tuple((lo, min(lo + self.seg_rows, self.nv))
-                     for lo in range(0, self.nv, self.seg_rows))
+    def nseg(self) -> int:
+        return len(self.bounds)
+
+    @property
+    def window(self) -> int:
+        """Static scan-mode gather-window rows (max range width)."""
+        return max((hi - lo for lo, hi in self.bounds), default=1)
 
     @property
     def segs(self) -> tuple:
@@ -298,26 +307,35 @@ def seg_sweep(g: DeviceGraph, carry, tables: tuple, bucket_fn,
     tuple aligned with ``layout_buckets``.
 
     At scale the sweep is a ``lax.scan`` over the [S]-stacked bucket
-    tables (one compiled body — the remote-compile-ceiling fix);
-    otherwise the trace-time unrolled loop."""
+    tables (one compiled body — the remote-compile-ceiling fix); each
+    step's gather tables are one ``window``-row dynamic slice (the
+    equal-edge ranges have varying widths; local neighbor ids stay
+    below each range's true width, so the tail of a wider window is
+    simply never indexed). Otherwise the trace-time unrolled loop."""
     if use_seg_scan(g):
         ss = g.seg_ell
-        pad = ss.nseg * ss.seg_rows - ss.nv
+        win = ss.window
+        rows_needed = max((lo for lo, _ in ss.bounds), default=0) + win
+        los = jnp.asarray(np.asarray([lo for lo, _ in ss.bounds],
+                                     np.int32))
 
-        def to_segs(t):
-            tp = jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1)) \
-                if pad else t
-            return tp.reshape((ss.nseg, ss.seg_rows) + t.shape[1:])
+        def pad_tab(t):
+            pad = rows_needed - t.shape[0]
+            if pad <= 0:
+                return t
+            return jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1))
 
-        segs = tuple(to_segs(t) for t in tables)
+        tabs = tuple(pad_tab(t) for t in tables)
 
         def body(c, ins):
-            ts, bks, pks = ins
+            lo_s, bks, pks = ins
+            ts = tuple(jax.lax.dynamic_slice_in_dim(t, lo_s, win, axis=0)
+                       for t in tabs)
             for i, b in enumerate(bks):
                 c = bucket_fn(c, b, None if pks is None else pks[i], *ts)
             return c, None
 
-        carry, _ = jax.lax.scan(body, carry, (segs, ss.buckets, packed))
+        carry, _ = jax.lax.scan(body, carry, (los, ss.buckets, packed))
         return carry
     for b, (lo, hi), pk in iter_layout(g, packed):
         whole = (lo, hi) == (0, tables[0].shape[0]) if tables else True
@@ -540,17 +558,17 @@ def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
     widths = _widths_for_split(split)
     src, dst = g.coo()
     ne = g.ne
-    nseg = -(-g.nv // seg_rows) if g.nv else 0
-    bounds = [(lo, min(lo + seg_rows, g.nv))
-              for lo in range(0, g.nv, seg_rows)]
+    bounds = seg_bounds(g.nv, dst, seg_rows)
+    nseg = len(bounds)
 
     from graphaibench_tpu import native
 
+    # segment id per edge from the (static, small) boundary list
+    los = np.asarray([lo for lo, _ in bounds], np.int64)
     perm = None
     if ne:
-        # dst is int32 (< nv <= 2^31), so int32 floor-div is exact and
-        # avoids a 62M-row int64 materialization (~5 s at rmat20)
-        keys = np.asarray(dst, np.int32) // np.int32(seg_rows)
+        keys = (np.searchsorted(los, np.asarray(dst, np.int64),
+                                side="right") - 1).astype(np.int32)
         perm = native.stable_key_sort(keys, nseg)
     segs = []
     if perm is not None:
@@ -573,8 +591,81 @@ def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
             # CSR order is preserved by the mask, so src stays grouped
             segs.append(_pack_segment(src[eid], dst[eid] - lo, eid, ne,
                                       split, widths))
-    return SegmentedEll(seg_rows=seg_rows, nv=g.nv, nseg=nseg,
+    return SegmentedEll(bounds=bounds, nv=g.nv,
                         buckets=_stack_segments(segs, nseg, ne))
+
+
+def build_segorder_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
+                       split: Optional[int] = None) -> tuple:
+    """PROBE layout: plain ELL buckets whose (virtual) rows are grouped
+    by destination-column segment — GLOBAL neighbor ids, zero stacking
+    pad, no slicing. Distinguishes whether the measured segmenting win
+    comes from the sliced gather table or merely from the index stream
+    being CLUSTERED within a 64 MB window at a time (in which case this
+    layout gets the locality for free). Consumed as DeviceGraph.ell."""
+    split = split or ELL_SPLIT
+    widths = _widths_for_split(split)
+    src, dst = g.coo()
+    ne = g.ne
+    bounds = seg_bounds(g.nv, dst, seg_rows)
+
+    from graphaibench_tpu import native
+
+    los = np.asarray([lo for lo, _ in bounds], np.int64)
+    keys = (np.searchsorted(los, np.asarray(dst, np.int64),
+                            side="right") - 1).astype(np.int32)
+    perm = native.stable_key_sort(keys, len(bounds))
+    if perm is None:
+        perm = np.argsort(keys, kind="stable")
+    counts = np.bincount(keys, minlength=len(bounds))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    per_width: dict = {}
+    for s in range(len(bounds)):
+        eid = perm[starts[s]:starts[s + 1]].astype(np.int64)
+        if len(eid) == 0:
+            continue
+        uniq, st, cnt = _run_lengths(src[eid])
+        for b in _pack_rows(uniq.astype(np.int32), st, cnt, dst[eid],
+                            eid, ne, widths, split, as_numpy=True):
+            per_width.setdefault(b.width, []).append(b)
+    return tuple(
+        EllBucket(
+            row_ids=jnp.asarray(np.concatenate([b.row_ids for b in bl])),
+            nbr=jnp.asarray(np.concatenate([b.nbr for b in bl])),
+            edge_id=jnp.asarray(np.concatenate([b.edge_id for b in bl])),
+            width=w)
+        for w, bl in sorted(per_width.items()))
+
+
+def seg_bounds(nv: int, dst: np.ndarray, seg_rows: int = SEG_ROWS) -> tuple:
+    """EQUAL-EDGE column ranges, width-capped at ``seg_rows``.
+
+    Power-law graphs concentrate edges in the low-id columns: with
+    equal-VERTEX ranges the per-width bucket row counts varied ~10x
+    across segments and padding to the stacked max blew the slot count
+    to 3.2x ne at rmat20 (tools/results/seg_pad_audit.json). Greedy
+    equal-edge cuts (each range also <= seg_rows columns, keeping every
+    gather window inside the measured fast-locality slice) balance the
+    stacks to ~the per-segment-exact slot count."""
+    if nv == 0:
+        return ()
+    if len(dst) == 0:
+        return tuple((lo, min(lo + seg_rows, nv))
+                     for lo in range(0, nv, seg_rows))
+    cum = np.concatenate(
+        [[0], np.cumsum(np.bincount(np.asarray(dst, np.int64),
+                                    minlength=nv))])
+    n_min = -(-nv // seg_rows)
+    target = len(dst) / n_min
+    bounds = []
+    lo = 0
+    while lo < nv:
+        cap = min(lo + seg_rows, nv)
+        hi = int(np.searchsorted(cum, cum[lo] + target, side="left"))
+        hi = max(lo + 1, min(hi, cap))
+        bounds.append((lo, hi))
+        lo = hi
+    return tuple(bounds)
 
 
 def to_device_graph(

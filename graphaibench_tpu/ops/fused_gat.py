@@ -211,10 +211,12 @@ def _bucket_views(b, clo, chi):
 
 
 def _gather3(xs, nbr_flat, width):
-    """Flat gather + (r, W, c) view (free relayout for W >= 8; the
-    narrow W=4 bucket pays one 2x-padded copy — see ops.lanes)."""
-    gat = xs[nbr_flat]
-    return gat.reshape(gat.shape[0] // width, width, gat.shape[1])
+    """(r, W, c) gather via a 2-D view of the flat INDEX array. The
+    index reshape is a small padded transient (~(1/W)(128/c) of the
+    gathered bytes); reshaping the GATHERED data instead materializes a
+    copy of the whole operand (+20-50% on the rmat20 SpMM A/B,
+    tools/results/spmm_ab_20.json)."""
+    return xs[nbr_flat.reshape(-1, width)]
 
 
 def _seq(acc, nbr, enable):

@@ -131,31 +131,39 @@ def _bucket_accumulate(out, b, xs, wb_flat, f):
     """Shared inner stage: flat gather + weight + group collapse +
     scatter-add, chunked to the padded-lane stage budget.
 
-    Two collapse kernels, GAB_SPMM_KERNEL={flat,einsum} (trace-time):
-      * flat  — multiply then ops.lanes.group_sum_cols tree adds.
-      * einsum — (r, W) x (r, W, F) contraction on RESHAPED views of
-        the flat arrays (the pre-flat round-3 kernel; the reshapes are
-        transient, so the at-rest 32x-padding fix is unaffected).
-    Chip A/B at rmat20 decides the default (tools/spmm_kernel_ab.py)."""
+    Collapse kernels, GAB_SPMM_KERNEL (trace-time; rmat20 chip A/B in
+    tools/results/spmm_ab_20.json):
+      * einsum2d (default) — reshape the (rw,) INDEX/weight arrays to
+        (r, W) — small padded transients, ~(1/W)(128/F) of the gathered
+        bytes — and gather DIRECTLY into (r, W, F) for the contraction:
+        the round-3 gather shape, with the flat at-rest fix intact.
+      * einsum — flat gather (rw, F), then reshape the GATHERED data to
+        3-D: the reshape materializes a copy of the whole gathered
+        operand (~+20% plain, +50% seg, measured).
+      * flat — multiply then ops.lanes.group_sum_cols tree adds
+        (slowest, kept for the ablation record)."""
     import os
 
     from graphaibench_tpu.ops.lanes import group_sum_cols
 
-    use_einsum = os.environ.get(
-        "GAB_SPMM_KERNEL", "einsum").strip().lower() == "einsum"
+    kern = os.environ.get(
+        "GAB_SPMM_KERNEL", "einsum2d").strip().lower()
     w = b.width
     for clo, chi in bucket_row_chunks(b, f):
         rows, nbr, _ = b.slot_slice(clo, chi)
         wb = wb_flat if (clo, chi) == (0, b.rows) else \
             wb_flat[clo * w:chi * w]
-        # flat gather: (rw, F) output, minor dim = the feature chunk —
-        # no narrow-lane padding (ops.lanes rationale)
-        gat = xs[nbr]
-        if use_einsum:
+        if kern == "einsum2d":
+            contrib = jnp.einsum("rw,rwf->rf", wb.reshape(-1, w),
+                                 xs[nbr.reshape(-1, w)])
+        elif kern == "einsum":
+            gat = xs[nbr]
             contrib = jnp.einsum("rw,rwf->rf", wb.reshape(-1, w),
                                  gat.reshape(-1, w, gat.shape[1]))
         else:
-            contrib = group_sum_cols(gat * wb[:, None], w)
+            # flat gather: (rw, F) output, minor dim = the feature
+            # chunk — no narrow-lane padding (ops.lanes rationale)
+            contrib = group_sum_cols(xs[nbr] * wb[:, None], w)
         # add, not set: heavy rows are split across several virtual
         # rows (same cost as set, measured)
         out = out.at[rows].add(contrib.astype(out.dtype))

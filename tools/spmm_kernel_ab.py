@@ -73,8 +73,21 @@ def main():
     print(json.dumps(out), flush=True)
 
     for layout in args.layouts.split(","):
-        os.environ["GAB_SEG_ELL"] = "1" if layout == "seg" else "0"
+        os.environ["GAB_SEG_ELL"] = ("1" if layout.startswith("seg")
+                                     and layout != "segorder" else "0")
+        os.environ["GAB_SEG_SCAN"] = "0" if layout == "seg_unroll" else "1"
         gb = GraphBundle.build(g, "gcn")
+        if layout == "segorder":
+            # plain ELL rows grouped by destination segment, GLOBAL ids
+            import dataclasses as _dc
+
+            from graphaibench_tpu.ops.device_graph import (
+                build_segorder_ell,
+                pack_edge_values,
+            )
+            dg2 = _dc.replace(gb.device, ell=build_segorder_ell(g))
+            gb = _dc.replace(gb, device=dg2,
+                             packed_w=pack_edge_values(dg2, gb.edge_w))
         x = jnp.asarray(
             rng.standard_normal((g.nv, args.feat)).astype(np.float32))
         for kern in args.kernels.split(","):
@@ -97,7 +110,8 @@ def main():
                 print(json.dumps(out), flush=True)
         del gb, x
         gc.collect()
-    for k in ("GAB_SEG_ELL", "GAB_SPMM_KERNEL", "GAB_SPMM_BF16"):
+    for k in ("GAB_SEG_ELL", "GAB_SEG_SCAN", "GAB_SPMM_KERNEL",
+              "GAB_SPMM_BF16"):
         os.environ.pop(k, None)
     print(json.dumps(out), flush=True)
     return 0
