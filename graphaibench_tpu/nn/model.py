@@ -70,8 +70,17 @@ class GraphBundle:
               spmm_impl: str = "auto") -> "GraphBundle":
         from graphaibench_tpu.ops.spmm import _pick_impl
 
+        import os
+
         prepped = prepare_graph(g, arch)
-        device = to_device_graph(prepped, with_ell=with_ell)
+        # GAT keeps the plain/unified layout even above the seg-ELL
+        # size threshold: column segmenting fragments its fused
+        # multi-pass attention kernels (rmat20 measured: plain 8.03
+        # s/epoch vs seg 9.40). GAB_SEG_ELL still overrides.
+        seg = (False if arch == "gat"
+               and not os.environ.get("GAB_SEG_ELL", "").strip()
+               else None)
+        device = to_device_graph(prepped, with_ell=with_ell, seg_ell=seg)
         edge_w = jnp.asarray(aggregation_weights(prepped, arch))
         packed = None
         # GAT re-derives scores per step (packed weights don't apply);

@@ -194,10 +194,22 @@ def _col_chunks(total: int, itemsize: int = 4):
 V2_GATHER_BF16 = True
 
 
-def _v2_gather_dtype(g: DeviceGraph, base):
+def _v2_bf16_min_nv() -> int:
+    """Vertex count above which v2 gathers round to bf16. Default: the
+    seg-layout threshold. GAB_V2_BF16_MIN_NV overrides — at rmat17
+    (nv=2^17, below the default) the f32 packed (1+F)/(4+F) tables need
+    2 gather chunks per slot where bf16 needs 1, so lowering the
+    threshold halves the v2 gather count there (chip ablation)."""
+    import os
+
     from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
 
-    if V2_GATHER_BF16 and g.nv >= SEG_ELL_MIN_NV and base == jnp.float32:
+    env = os.environ.get("GAB_V2_BF16_MIN_NV", "").strip()
+    return int(env) if env else SEG_ELL_MIN_NV
+
+
+def _v2_gather_dtype(g: DeviceGraph, base):
+    if V2_GATHER_BF16 and g.nv >= _v2_bf16_min_nv() and base == jnp.float32:
         return jnp.bfloat16
     return base
 

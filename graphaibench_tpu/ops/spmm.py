@@ -94,8 +94,13 @@ def spmm_ell(g: DeviceGraph, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 # cap on the materialized (rows, W, F) gather per stage: XLA materializes
 # the einsum input, so an unchunked hub bucket on a ~30M-edge graph would
-# need >10 GB and stall. 2^28 f32 elements = 1 GB per stage.
-_ELL_STAGE_ELEMS = 1 << 28
+# need >10 GB and stall. 2^28 PADDED f32 elements = 1 GB per stage
+# (bucket_row_chunks counts f at its 128-lane-padded width).
+# GAB_STAGE_ELEMS_LOG2 overrides — the narrow-F (class-dim) aggregation
+# trades stage count against transient size 8x either way.
+import os as _os
+
+_ELL_STAGE_ELEMS = 1 << int(_os.environ.get("GAB_STAGE_ELEMS_LOG2", "28"))
 
 
 def bucket_row_chunks(b, f: int, cap: int | None = None):
