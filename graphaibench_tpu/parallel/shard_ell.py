@@ -156,18 +156,16 @@ def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
     return tuple(out)
 
 
-def _stack_layout(per_shard_lists, num_shards, sentinel, n_gather,
-                  seg_rows):
-    """Stack per-shard bucket lists; when the gather table is larger
-    than ``seg_rows`` the lists are per-segment (aligned across shards
-    because every shard shares n_gather) and each stacked bucket is
-    wrapped in a SlicedBucket carrying its static slice."""
-    if n_gather <= seg_rows:
+def _stack_layout(per_shard_lists, num_shards, sentinel, bounds):
+    """Stack per-shard bucket lists; when ``bounds`` is non-None the
+    lists are per-segment (one entry per bounds range, aligned across
+    shards because the ranges are computed from the GLOBAL column
+    histogram) and each stacked bucket is wrapped in a SlicedBucket
+    carrying its static slice."""
+    if bounds is None:
         return _stack_bucket_lists(per_shard_lists, num_shards, sentinel)
     out = []
-    n_segs = -(-n_gather // seg_rows)
-    for k in range(n_segs):
-        lo, hi = k * seg_rows, min((k + 1) * seg_rows, n_gather)
+    for k, (lo, hi) in enumerate(bounds):
         stacked = _stack_bucket_lists([bl[k] for bl in per_shard_lists],
                                       num_shards, sentinel)
         out.extend(SlicedBucket(b=b, lo=lo, hi=hi) for b in stacked)
@@ -201,26 +199,18 @@ def build_shard_ell(sg, split: Optional[int] = None,
     but frees XLA to overlap the all_to_all with the interior ("own")
     aggregation — the NVSHMEM-mid-kernel-fetch replacement's latency
     hiding (bs_warp_vertex_nvshmem.cuh:30-34)."""
+    from graphaibench_tpu.ops.device_graph import seg_bounds
+
     P, e_max = sg.num_shards, sg.e_max
     nv_ext = sg.nv_pad + sg.h_max
     n_fwd_gather = {"all": nv_ext, "own": sg.nv_pad, "halo": sg.h_max}[part]
 
-    def layouts(rows, cols, eids, n_gather, use_segs):
-        if not use_segs:
-            return ell_from_coo(rows, cols, eids, e_max, split,
-                                as_numpy=True)
-        per_seg = []
-        for lo in range(0, n_gather, seg_rows):
-            hi = min(lo + seg_rows, n_gather)
-            sel = (cols >= lo) & (cols < hi)
-            per_seg.append(ell_from_coo(rows[sel], cols[sel] - lo,
-                                        eids[sel], e_max, split,
-                                        as_numpy=True))
-        return per_seg
-
-    seg_fwd = n_fwd_gather >= seg_min_rows
-    seg_trans = sg.nv_pad >= seg_min_rows
-    fwd_lists, trans_lists = [], []
+    # per-shard edge triples first: the segment boundaries are EQUAL-
+    # EDGE over the GLOBAL column histogram (ops.device_graph.seg_bounds
+    # rationale — equal-vertex ranges + power-law skew padded the
+    # stacked slots 3-4x; global bounds keep them static and identical
+    # across shards, which shard_map requires)
+    triples = []
     for p in range(P):
         n_e = int(sg.edge_valid[p].sum())
         rows = sg.edge_src[p, :n_e].astype(np.int64)
@@ -232,20 +222,42 @@ def build_shard_ell(sg, split: Optional[int] = None,
         elif part == "halo":
             sel = cols >= sg.nv_pad
             rows, cols, eids = rows[sel], cols[sel] - sg.nv_pad, eids[sel]
-        fwd_lists.append(layouts(rows, cols, eids, n_fwd_gather, seg_fwd))
+        triples.append((rows, cols, eids))
+
+    seg_fwd = n_fwd_gather >= seg_min_rows
+    seg_trans = sg.nv_pad >= seg_min_rows
+    fwd_bounds = trans_bounds = None
+    if seg_fwd:
+        fwd_bounds = seg_bounds(
+            n_fwd_gather, np.concatenate([t[1] for t in triples]), seg_rows)
+    if seg_trans and with_trans:
+        trans_bounds = seg_bounds(
+            sg.nv_pad, np.concatenate([t[0] for t in triples]), seg_rows)
+
+    def layouts(rows, cols, eids, bounds):
+        if bounds is None:
+            return ell_from_coo(rows, cols, eids, e_max, split,
+                                as_numpy=True)
+        per_seg = []
+        for lo, hi in bounds:
+            sel = (cols >= lo) & (cols < hi)
+            per_seg.append(ell_from_coo(rows[sel], cols[sel] - lo,
+                                        eids[sel], e_max, split,
+                                        as_numpy=True))
+        return per_seg
+
+    fwd_lists, trans_lists = [], []
+    for rows, cols, eids in triples:
+        fwd_lists.append(layouts(rows, cols, eids, fwd_bounds))
         if with_trans:
-            trans_lists.append(layouts(cols, rows, eids, sg.nv_pad,
-                                       seg_trans))
-    fwd = (_stack_layout(fwd_lists, P, e_max, n_fwd_gather, seg_rows)
-           if seg_fwd else _stack_bucket_lists(fwd_lists, P, e_max))
+            trans_lists.append(layouts(cols, rows, eids, trans_bounds))
+    fwd = _stack_layout(fwd_lists, P, e_max, fwd_bounds)
     # the transpose layout (the x-adjoint's scatter replacement) is only
     # needed for training; forward-only consumers (distributed
     # analytics, the weak-scaling bench) skip the edge-scale build+ship
     trans = ()
     if with_trans:
-        trans = (_stack_layout(trans_lists, P, e_max, sg.nv_pad, seg_rows)
-                 if seg_trans else _stack_bucket_lists(trans_lists, P,
-                                                       e_max))
+        trans = _stack_layout(trans_lists, P, e_max, trans_bounds)
     return ShardEll(fwd=fwd, trans=trans, sentinel=e_max)
 
 
