@@ -285,14 +285,20 @@ def _sr_rowmax(g: DeviceGraph, sr):
     than a true scalar gather (row-rate-bound engine, measured)."""
     from graphaibench_tpu.ops.device_graph import seg_sweep
     from graphaibench_tpu.ops.lanes import group_reduce
+    from graphaibench_tpu.ops.spmm import bucket_row_chunks
 
     sr2 = jnp.stack([sr, sr], axis=1)                     # (nv, 2)
     out = jnp.full((g.nv,), -jnp.inf, sr.dtype)
 
     def bucket_fn(out, b, _pk, xs):
-        vb = jnp.where(b.edge_id == g.ne, -jnp.inf,
-                       xs[b.nbr][:, 0])                   # flat (R*W,)
-        return out.at[b.row_ids].max(group_reduce(vb, b.width, "max"))
+        # chunked: the (slots, 2) gather output pads its minor dim to
+        # 128 lanes (64x) — unchunked, one hub bucket's temp was 7.04 GB
+        # at rmat20 (sharded_p1_20.err round 4)
+        for clo, chi in bucket_row_chunks(b, 2):
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            vb = jnp.where(eid == g.ne, -jnp.inf, xs[nbr][:, 0])
+            out = out.at[rows].max(group_reduce(vb, b.width, "max"))
+        return out
 
     return seg_sweep(g, out, (sr2,), bucket_fn)
 

@@ -142,17 +142,28 @@ def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
         ev_pad = _pad_edge_vals(edge_vals)
 
     def bucket_fn(out, b, pk, xs):
-        vb = xs[b.nbr][:, 0]                           # (R*W,) flat
-        if edge_vals is not None:
-            eb = pk if packed else ev_pad[b.edge_id]
-            vb = vb * eb if kind == "sum" else vb + eb
-        vb = jnp.where(b.edge_id == g.ne, ident, vb)
-        vb = group_reduce(vb, b.width, kind)           # (R,)
-        if kind == "max":
-            return out.at[b.row_ids].max(vb)
-        if kind == "min":
-            return out.at[b.row_ids].min(vb)
-        return out.at[b.row_ids].add(vb)
+        from graphaibench_tpu.ops.spmm import bucket_row_chunks
+
+        # chunked: the (slots, 2) gather output pads its minor dim to
+        # 128 lanes (64x) — an unchunked hub bucket's temp reached GBs
+        # at rmat20 (the frontier OOM class, sharded_p1_20.err)
+        w = b.width
+        for clo, chi in bucket_row_chunks(b, 2):
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            vb = xs[nbr][:, 0]                         # flat (r*W,)
+            if edge_vals is not None:
+                eb = (pk[clo * w:chi * w] if packed
+                      else ev_pad[eid])
+                vb = vb * eb if kind == "sum" else vb + eb
+            vb = jnp.where(eid == g.ne, ident, vb)
+            vb = group_reduce(vb, w, kind)             # (r,)
+            if kind == "max":
+                out = out.at[rows].max(vb)
+            elif kind == "min":
+                out = out.at[rows].min(vb)
+            else:
+                out = out.at[rows].add(vb)
+        return out
 
     return seg_sweep(g, out, (v2,), bucket_fn,
                      edge_vals if packed else None)

@@ -676,8 +676,13 @@ def _sr_rowmax_local(se: ShardEll, sr_ext, n_out, sent):
     for bk in se.fwd:
         b, sl_ = _unwrap(bk)
         tb = sr2 if sl_ is None else sr2[sl_[0]:sl_[1]]
-        vb = jnp.where(b.edge_id == sent, -jnp.inf, tb[b.nbr][:, 0])
-        out = out.at[b.row_ids].max(group_reduce(vb, b.width, "max"))
+        # chunked: the (slots, 2) gather output pads its minor dim to
+        # 128 lanes (64x); one hub bucket's unchunked temp OOM'd the
+        # rmat20 sharded GAT epoch (7.04 GB, sharded_p1_20.err)
+        for clo, chi in bucket_row_chunks(b, 2):
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            vb = jnp.where(eid == sent, -jnp.inf, tb[nbr][:, 0])
+            out = out.at[rows].max(group_reduce(vb, b.width, "max"))
     return out
 
 
