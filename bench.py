@@ -334,9 +334,15 @@ def main():
             seg_off = (prior is not None and
                        prior.strip().lower() in ("0", "false", "off", "no"))
             try:
-                EXTRA[key] = _timed_epochs(Model(cfg, ds20), 3)
-                EXTRA[key + "_layout"] = ("plain_ell_env" if seg_off
-                                          else "seg_ell")
+                model = Model(cfg, ds20)
+                # label by the layout the model ACTUALLY built (GAT
+                # auto-plains even at scale — measured faster)
+                actual = ("seg_ell" if model.training.device.seg_ell
+                          is not None else "plain_ell")
+                EXTRA[key] = _timed_epochs(model, 3)
+                EXTRA[key + "_layout"] = (actual + "_env" if seg_off
+                                          else actual)
+                del model
                 return
             except Exception as e:  # noqa: BLE001 - fall back below
                 ERRORS[key + "_seg"] = f"{type(e).__name__}: {e}"[:300]

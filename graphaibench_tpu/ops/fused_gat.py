@@ -194,18 +194,21 @@ def _col_chunks(total: int, itemsize: int = 4):
 V2_GATHER_BF16 = True
 
 
+# default threshold 2^17: at rmat17 the f32 packed (1+F)/(4+F) tables
+# need TWO <=512 B gather chunks per slot where bf16 needs one —
+# measured 206 -> 161 ms/epoch (tools/results/gat17_bf16.json), meeting
+# the <=170 ms round-3 target. Small graphs (reference-parity tests)
+# stay exact f32.
+V2_BF16_MIN_NV = 1 << 17
+
+
 def _v2_bf16_min_nv() -> int:
-    """Vertex count above which v2 gathers round to bf16. Default: the
-    seg-layout threshold. GAB_V2_BF16_MIN_NV overrides — at rmat17
-    (nv=2^17, below the default) the f32 packed (1+F)/(4+F) tables need
-    2 gather chunks per slot where bf16 needs 1, so lowering the
-    threshold halves the v2 gather count there (chip ablation)."""
+    """Vertex count above which v2 gathers round to bf16
+    (GAB_V2_BF16_MIN_NV overrides for ablations)."""
     import os
 
-    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
-
     env = os.environ.get("GAB_V2_BF16_MIN_NV", "").strip()
-    return int(env) if env else SEG_ELL_MIN_NV
+    return int(env) if env else V2_BF16_MIN_NV
 
 
 def _v2_gather_dtype(g: DeviceGraph, base):

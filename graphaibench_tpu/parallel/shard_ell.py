@@ -633,13 +633,12 @@ from graphaibench_tpu.ops.fused_gat import (  # noqa: E402
 
 def _shard_gather_dtype(n_gather_rows: int, base):
     """bf16 gathered operands at scale for the fused GAT v2 locals,
-    same policy as ops.fused_gat._v2_gather_dtype (one <=512 B chunk
-    instead of two, gather views halved back under the 64 MB locality
-    cliff)."""
+    same policy and threshold as ops.fused_gat._v2_gather_dtype (one
+    <=512 B chunk instead of two; measured 206 -> 161 ms/epoch at
+    rmat17 single-chip)."""
     from graphaibench_tpu.ops import fused_gat as _fg
-    from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
 
-    if (_fg.V2_GATHER_BF16 and n_gather_rows >= SEG_ELL_MIN_NV
+    if (_fg.V2_GATHER_BF16 and n_gather_rows >= _fg._v2_bf16_min_nv()
             and base == jnp.float32):
         return jnp.bfloat16
     return base

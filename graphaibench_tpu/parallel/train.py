@@ -27,6 +27,7 @@ from graphaibench_tpu.nn.layers import ModelConfig
 from graphaibench_tpu.nn import optim
 from graphaibench_tpu.ops import math as gmath
 from graphaibench_tpu.parallel.halo import AXIS, halo_exchange, sharded_spmm_local
+from graphaibench_tpu.ops.device_graph import SEG_ELL_MIN_NV
 from graphaibench_tpu.parallel.partition import ShardedGraph, pad_rows
 from graphaibench_tpu.parallel.shard_ell import (
     ShardEll,
@@ -388,8 +389,15 @@ def prepare_trainer_host(
     empty_se, empty_wp = ShardEll((), ()), ShardPackedW((), ())
     use_packed = use_ell and cfg.arch != "gat"
     use_overlap = overlap and use_packed
-    se_host = (build_shard_ell(sg) if use_ell and not use_overlap
-               else empty_se)
+    # GAT keeps the UNSEGMENTED (whole-extended-table) shard layout at
+    # any scale, mirroring the single-chip plain-layout default:
+    # segmenting fragments the fused attention passes (rmat20 single:
+    # plain 6.87 s vs seg 9.40), and the unrolled segmented sharded GAT
+    # program SIGKILLed the remote compiler at rmat20
+    # (sharded_p1_20_gat.err).
+    seg_min = (1 << 62) if cfg.arch == "gat" else SEG_ELL_MIN_NV
+    se_host = (build_shard_ell(sg, seg_min_rows=seg_min)
+               if use_ell and not use_overlap else empty_se)
     wp_host = (pack_shard_values(se_host, sg.edge_w)
                if use_packed and se_host.fwd else empty_wp)
     ell_host = {"se": se_host, "wp": wp_host,
