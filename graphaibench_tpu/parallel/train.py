@@ -409,6 +409,19 @@ def prepare_trainer_host(
         ell_host.update(
             se_own=se_own, wp_own=pack_shard_values(se_own, sg.edge_w),
             se_halo=se_halo, wp_halo=pack_shard_values(se_halo, sg.edge_w))
+    if use_packed and (use_overlap or se_host.fwd):
+        # the packed static-weight path (GCN/SAGE) never reads the raw
+        # slot-space edge arrays — the aggregation is fully described by
+        # the ELL layouts + pre-gathered weights. Shipping them anyway
+        # cost ~1.7 GB of dead HBM at products scale (the sharded P=1
+        # ResourceExhausted, products_bench2.json); ship 1-slot dummies
+        # instead (shapes only matter at trace time, and the traced
+        # branch never touches them).
+        p_ = sg.num_shards
+        ga.update(edge_src=np.zeros((p_, 1), np.int32),
+                  col_idx=np.zeros((p_, 1), np.int32),
+                  edge_w=np.zeros((p_, 1), np.float32),
+                  edge_valid=np.zeros((p_, 1), bool))
 
     return dict(x=x_pad, lab=lab_pad, valid=valid_np, ga=ga, ell=ell_host,
                 eval_masks=eval_masks,

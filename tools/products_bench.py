@@ -63,7 +63,8 @@ def main():
                     train_range=tr, val_range=tr, test_range=tr)
 
     results = {"nv": nv, "ne": ne, "graph_build_s": build_s}
-    for arch in ("gcn", "sage"):
+    archs = os.environ.get("PRODUCTS_ARCHS", "gcn,sage").split(",")
+    for arch in archs:
         # each section guarded: an OOM in one arch must not erase the
         # other sections' records (bench.py hardening pattern)
         m = None
@@ -87,7 +88,15 @@ def main():
             gc.collect()
 
     # sharded trainer at P=1 (the production multi-chip path on one
-    # real chip; <1.0 expected per BASELINE round-2 measurements)
+    # real chip; <1.0 expected per BASELINE round-2 measurements).
+    # PRODUCTS_SHARDED=0 skips it (single-chip-only ablations).
+    if os.environ.get("PRODUCTS_SHARDED", "1") == "0":
+        print(json.dumps({"metric": "products_shaped_epoch_s",
+                          "config": f"rmat{scale} ef{ef} symmetrized, "
+                                    f"feat {feat}, {classes} classes, "
+                                    f"2x{hid} layers",
+                          **results}))
+        return
     try:
         import jax
         from jax.sharding import Mesh
