@@ -71,12 +71,15 @@ class EllBucket:
 
     def slot_slice(self, lo: int, hi: int):
         """(row_ids, nbr, edge_id) restricted to rows [lo, hi) — flat
-        slot arrays sliced on slot boundaries."""
+        slot arrays sliced on slot boundaries. edge_id may be None
+        (dropped from packed-weight layouts, which never gather by edge
+        id — it was ~1.3 GB of dead HBM at products scale)."""
         if (lo, hi) == (0, self.rows):
             return self.row_ids, self.nbr, self.edge_id
         w = self.width
-        return (self.row_ids[lo:hi], self.nbr[lo * w:hi * w],
-                self.edge_id[lo * w:hi * w])
+        eid = (None if self.edge_id is None
+               else self.edge_id[lo * w:hi * w])
+        return self.row_ids[lo:hi], self.nbr[lo * w:hi * w], eid
 
     def nbr2(self) -> jnp.ndarray:
         """(..., R, W) view of the neighbor ids (padded transient —

@@ -299,6 +299,24 @@ def pack_shard_values(se: ShardEll, w: np.ndarray) -> ShardPackedW:
     return ShardPackedW(fwd=pk(se.fwd), t=pk(se.trans))
 
 
+def drop_edge_ids(se: ShardEll) -> ShardEll:
+    """ShardEll with edge_id arrays dropped (None): the packed
+    static-weight kernels gather weights from the pre-packed tables and
+    never by edge id, so shipping the (P, R*W) int32 id arrays is dead
+    HBM — ~1.3 GB across the fwd+trans layouts at products scale (the
+    sharded P=1 runs sat within ~2 GB of the 16 GB ceiling)."""
+
+    def strip_any(bk):
+        if isinstance(bk, SlicedBucket):
+            return dataclasses.replace(
+                bk, b=dataclasses.replace(bk.b, edge_id=None))
+        return dataclasses.replace(bk, edge_id=None)
+
+    return ShardEll(fwd=tuple(strip_any(b) for b in se.fwd),
+                    trans=tuple(strip_any(b) for b in se.trans),
+                    sentinel=se.sentinel)
+
+
 def local_packed_w(wp: ShardPackedW) -> ShardPackedW:
     """Strip the leading length-1 block axis shard_map hands each shard."""
     return jax.tree.map(lambda a: a[0], wp)

@@ -409,6 +409,14 @@ def prepare_trainer_host(
         ell_host.update(
             se_own=se_own, wp_own=pack_shard_values(se_own, sg.edge_w),
             se_halo=se_halo, wp_halo=pack_shard_values(se_halo, sg.edge_w))
+    if use_packed:
+        # the packed kernels never gather by edge id — drop the
+        # (P, R*W) id arrays before shipping (shard_ell.drop_edge_ids)
+        from graphaibench_tpu.parallel.shard_ell import drop_edge_ids
+
+        for k in ("se", "se_own", "se_halo"):
+            if ell_host[k].fwd or ell_host[k].trans:
+                ell_host[k] = drop_edge_ids(ell_host[k])
     if use_packed and (use_overlap or se_host.fwd):
         # the packed static-weight path (GCN/SAGE) never reads the raw
         # slot-space edge arrays — the aggregation is fully described by
