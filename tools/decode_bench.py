@@ -1,11 +1,12 @@
 """Device decode throughput across every compressed scheme.
 
 Measures END-TO-END decode (host metadata syncs included — they are
-part of the pipeline) for: segmented CGR, interval CGR, StreamVByte,
-VarintGB, hybrid. Each timed run decodes a DIFFERENT stream (same rmat
-scale, one edge dropped per run) because identical repeated executions
-through the tunnel can be served from a cache (CLAUDE.md measurement
-discipline); median of 3.
+part of the pipeline) and the DEVICE-RESIDENT decode-proper for:
+segmented CGR, interval CGR, StreamVByte, VarintGB, hybrid. Each timed
+run decodes a DIFFERENT same-shaped stream (one neighbor value nudged)
+because identical repeated executions through the tunnel can be served
+from a cache, while a changed SHAPE would recompile every jitted pass
+(CLAUDE.md measurement discipline); median of 3.
 
 Prints one JSON object; queue via tools/tpu_round2_queue.sh.
 """
@@ -41,20 +42,35 @@ def main():
     g0 = T.sort_and_clean(rmat(scale, 16, seed=0))
 
     def variants(n):
-        """n slightly-different graphs (defeats tunnel result caching)."""
+        """n slightly-different graphs with IDENTICAL shapes: each
+        variant nudges one neighbor VALUE (keeping rows sorted-unique),
+        so nv/ne/degrees — and therefore every static jit shape — stay
+        the same while the stream bytes differ. Fresh content defeats
+        the tunnel's result cache; identical shapes reuse the compiled
+        programs (the old drop-an-edge protocol changed the static ne
+        and every timed call RECOMPILED through the tunnel — the 'end-
+        to-end' numbers were mostly compile time)."""
         from graphaibench_tpu.graph.csr import CSRGraph
 
         rp0 = np.asarray(g0.row_ptr)
-        nonempty = np.flatnonzero(np.diff(rp0) > 0)
+        ci0 = np.asarray(g0.col_idx)
+        deg = np.diff(rp0)
+        # rows with a gap before their LAST neighbor: last -= 1 keeps
+        # the list sorted and duplicate-free
+        rows = np.flatnonzero(deg >= 2)
+        good = []
+        for v in rows:
+            e = rp0[v + 1]
+            if ci0[e - 1] > ci0[e - 2] + 1:
+                good.append(int(e - 1))
+            if len(good) >= n:
+                break
+        assert len(good) >= n - 1, "not enough nudgeable rows"
         out = [g0]
         for k in range(1, n):
-            # drop the last edge of the k-th nonempty vertex (keeps
-            # lists sorted, gives each run a distinct stream)
-            v = int(nonempty[k])
-            rp = rp0.copy()
-            ci2 = np.delete(np.asarray(g0.col_idx), rp[v + 1] - 1)
-            rp[v + 1:] -= 1
-            out.append(CSRGraph(row_ptr=rp, col_idx=ci2))
+            ci2 = ci0.copy()
+            ci2[good[k - 1]] -= 1
+            out.append(CSRGraph(row_ptr=rp0, col_idx=ci2))
         return out
 
     # variant 0 is warm-up ONLY; the timed runs use fresh streams 1..3
@@ -63,8 +79,19 @@ def main():
     gs = variants(4)
     results = {}
 
+    import dataclasses as _dc
+
+    def _pad_streams(streams):
+        """Pad every variant's byte stream to a common length so the
+        word-array shapes match across variants (decoders only read
+        within their offsets; a changed value can shift the encoded
+        length by a few bytes and would otherwise force a recompile)."""
+        mx = max(len(s.data) for s in streams)
+        return [_dc.replace(s, data=s.data + b"\x00" * (mx - len(s.data)))
+                for s in streams]
+
     def timed(name, encode, decode):
-        streams = [encode(g) for g in gs]
+        streams = _pad_streams([encode(g) for g in gs])
         got = decode(streams[0])        # compile + warm
         assert got.ne == gs[0].ne
         ts = []
@@ -112,9 +139,10 @@ def main():
     )
 
     def timed_resident(name, make_call):
-        """make_call(g) -> zero-arg decode closure over device-resident
-        inputs; warm once, then median-of-3 on fresh streams."""
-        calls = [make_call(g) for g in gs]
+        """make_call(stream) -> zero-arg decode closure over device-
+        resident inputs; warm once, then median-of-3 on fresh streams
+        (same shapes -> compiled programs reused)."""
+        calls = [make_call(s) for s in make_call.streams]
         _ = np.asarray(calls[0]()[:1])              # compile + warm
         ts = []
         for call in calls[1:]:
@@ -128,9 +156,10 @@ def main():
               flush=True)
 
     def cgr_resident(cfg):
-        def make(g):
-            prep = cgr_device_prep(cgr.encode_graph(g, cfg))
+        def make(st):
+            prep = cgr_device_prep(st)
             return lambda: cgr_device_run(prep, validate=False)[1]
+        make.streams = _pad_streams([cgr.encode_graph(g, cfg) for g in gs])
         return make
 
     timed_resident("cgr_resident", cgr_resident(cgr.CgrConfig()))
@@ -138,8 +167,7 @@ def main():
         "cgr_interval_resident",
         cgr_resident(cgr.CgrConfig(use_interval=True, itv_seg_len=64)))
 
-    def svb_resident(g):
-        vg = vbyte.encode_graph(g, "streamvbyte")
+    def svb_resident(vg):
         pad = (-len(vg.data)) % 4 + 8
         words = jnp.asarray(
             np.frombuffer(vg.data + b"\x00" * pad, dtype=np.uint32))
@@ -149,12 +177,16 @@ def main():
         return lambda: streamvbyte_decode_device(
             words, woff, deg, nv=nv, ne=ne)[1]
 
+    svb_resident.streams = _pad_streams(
+        [vbyte.encode_graph(g, "streamvbyte") for g in gs])
     timed_resident("streamvbyte_resident", svb_resident)
 
-    def vgb_resident(g):
-        prep = varintgb_device_prep(vbyte.encode_graph(g, "varintgb"))
+    def vgb_resident(vg):
+        prep = varintgb_device_prep(vg)
         return lambda: varintgb_device_run(prep)
 
+    vgb_resident.streams = _pad_streams(
+        [vbyte.encode_graph(g, "varintgb") for g in gs])
     timed_resident("varintgb_resident", vgb_resident)
 
     print(json.dumps({"metric": "device_decode_edges_per_s",
