@@ -27,6 +27,7 @@ fit in 32 bits (XLA int64 is slow on TPU).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional
 
@@ -229,20 +230,33 @@ class PackedEdgeW:
         return cls(*children)
 
 
+@functools.partial(jax.jit, static_argnames=("with_t",))
+def _pack_gathers(w, trans_perm, eids, with_t: bool):
+    """All pack gathers in ONE jitted program: eagerly they were ~10
+    separate ops, each a distinct remote compile through the tunnel
+    (the round-4 bench's rmat17 section spent >20 min mostly here)."""
+    zero = jnp.zeros((1,), w.dtype)
+    w_pad = jnp.concatenate([w, zero])
+    fwd = jax.tree.map(lambda e: w_pad[e], eids)
+    t = None
+    if with_t:
+        wt_pad = jnp.concatenate([w[trans_perm], zero])
+        t = jax.tree.map(lambda e: wt_pad[e], eids)
+    return fwd, t
+
+
 def pack_edge_values(g: DeviceGraph, w: jnp.ndarray,
                      *, with_transpose: bool = True) -> PackedEdgeW:
     """One-time per-bucket pre-gather of static per-edge values (device
     gathers; ~one slow pass — amortized over every subsequent SpMM).
     Aligned with ``layout_buckets``: stacked (S, R*w) per width on
     segmented graphs, flat (R*w,) on plain ELL."""
-    zero = jnp.zeros((1,), w.dtype)
-    w_pad = jnp.concatenate([jnp.asarray(w), zero])
-    fwd = tuple(w_pad[b.edge_id] for b in layout_buckets(g))
-    t = None
-    if with_transpose and g.has_transpose:
-        wt_pad = jnp.concatenate([jnp.asarray(w)[g.trans_perm], zero])
-        t = tuple(wt_pad[b.edge_id] for b in layout_buckets(g))
-    return PackedEdgeW(raw=jnp.asarray(w), fwd=fwd, t=t)
+    w = jnp.asarray(w)
+    eids = tuple(b.edge_id for b in layout_buckets(g))
+    with_t = bool(with_transpose and g.has_transpose)
+    trans = g.trans_perm if with_t else jnp.zeros((1,), jnp.int32)
+    fwd, t = _pack_gathers(w, trans, eids, with_t)
+    return PackedEdgeW(raw=w, fwd=fwd, t=t)
 
 
 def layout_buckets(g: DeviceGraph) -> tuple:

@@ -106,11 +106,19 @@ def pack_neighbor_edge_vals(g: DeviceGraph, edge_vals: jnp.ndarray,
     symmetry with ``neighbor_reduce`` but does not affect the packing
     (pad slots are masked to the combine identity after the combine).
     Aligned with ``device_graph.layout_buckets`` ([S]-stacked per width
-    on segmented graphs, flat per bucket on plain ELL)."""
+    on segmented graphs, flat per bucket on plain ELL). One jitted
+    program for all buckets (eager per-bucket gathers each cost a
+    remote compile through the tunnel)."""
     from graphaibench_tpu.ops.device_graph import layout_buckets
 
+    eids = tuple(b.edge_id for b in layout_buckets(g))
+    return _pack_nbr_gathers(jnp.asarray(edge_vals), eids)
+
+
+@jax.jit
+def _pack_nbr_gathers(edge_vals, eids):
     ev_pad = _pad_edge_vals(edge_vals)
-    return tuple(ev_pad[b.edge_id] for b in layout_buckets(g))
+    return jax.tree.map(lambda e: ev_pad[e], eids)
 
 
 def neighbor_reduce(g: DeviceGraph, vals: jnp.ndarray, kind: str,
