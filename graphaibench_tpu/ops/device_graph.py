@@ -310,6 +310,39 @@ def use_seg_scan(g: DeviceGraph) -> bool:
     return env not in ("0", "false", "off", "no")
 
 
+def sweep_stacked(bounds: tuple, buckets: tuple, carry, tables: tuple,
+                  bucket_fn, packed=None):
+    """lax.scan over [S]-stacked width-buckets: one compiled body
+    consumes one column segment per step (the remote-compile-ceiling
+    fix, and far friendlier to XLA buffer reuse than O(S * buckets)
+    unrolled stages). Each step's gather tables are one ``window``-row
+    dynamic slice — the equal-edge ranges have varying widths; local
+    neighbor ids stay below each range's true width, so the tail of a
+    wider window is simply never indexed."""
+    win = max((hi - lo for lo, hi in bounds), default=1)
+    rows_needed = max((lo for lo, _ in bounds), default=0) + win
+    los = jnp.asarray(np.asarray([lo for lo, _ in bounds], np.int32))
+
+    def pad_tab(t):
+        pad = rows_needed - t.shape[0]
+        if pad <= 0:
+            return t
+        return jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1))
+
+    tabs = tuple(pad_tab(t) for t in tables)
+
+    def body(c, ins):
+        lo_s, bks, pks = ins
+        ts = tuple(jax.lax.dynamic_slice_in_dim(t, lo_s, win, axis=0)
+                   for t in tabs)
+        for i, b in enumerate(bks):
+            c = bucket_fn(c, b, None if pks is None else pks[i], *ts)
+        return c, None
+
+    carry, _ = jax.lax.scan(body, carry, (los, buckets, packed))
+    return carry
+
+
 def seg_sweep(g: DeviceGraph, carry, tables: tuple, bucket_fn,
               packed=None):
     """Run ``bucket_fn(carry, bucket, packed_slice, *table_slices)``
@@ -324,36 +357,11 @@ def seg_sweep(g: DeviceGraph, carry, tables: tuple, bucket_fn,
     tuple aligned with ``layout_buckets``.
 
     At scale the sweep is a ``lax.scan`` over the [S]-stacked bucket
-    tables (one compiled body — the remote-compile-ceiling fix); each
-    step's gather tables are one ``window``-row dynamic slice (the
-    equal-edge ranges have varying widths; local neighbor ids stay
-    below each range's true width, so the tail of a wider window is
-    simply never indexed). Otherwise the trace-time unrolled loop."""
+    tables (sweep_stacked); otherwise the trace-time unrolled loop."""
     if use_seg_scan(g):
         ss = g.seg_ell
-        win = ss.window
-        rows_needed = max((lo for lo, _ in ss.bounds), default=0) + win
-        los = jnp.asarray(np.asarray([lo for lo, _ in ss.bounds],
-                                     np.int32))
-
-        def pad_tab(t):
-            pad = rows_needed - t.shape[0]
-            if pad <= 0:
-                return t
-            return jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1))
-
-        tabs = tuple(pad_tab(t) for t in tables)
-
-        def body(c, ins):
-            lo_s, bks, pks = ins
-            ts = tuple(jax.lax.dynamic_slice_in_dim(t, lo_s, win, axis=0)
-                       for t in tabs)
-            for i, b in enumerate(bks):
-                c = bucket_fn(c, b, None if pks is None else pks[i], *ts)
-            return c, None
-
-        carry, _ = jax.lax.scan(body, carry, (los, ss.buckets, packed))
-        return carry
+        return sweep_stacked(ss.bounds, ss.buckets, carry, tables,
+                             bucket_fn, packed)
     for b, (lo, hi), pk in iter_layout(g, packed):
         whole = (lo, hi) == (0, tables[0].shape[0]) if tables else True
         ts = tuple(t if whole else t[lo:hi] for t in tables)

@@ -63,51 +63,78 @@ def _seq_local(acc, nbr, n_gather_rows: int):
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
-class SlicedBucket:
-    """An ELL bucket whose neighbor ids are reindexed to the static
-    gather-table slice [lo, hi) — the column-segmented layout
-    (DeviceGraph.seg_ell's analog for the sharded rectangular kernels):
-    every gather stays inside a <=64 MB slice of the feature table,
-    where the measured rate is ~5x the whole-table rate at million-row
-    scale (CLAUDE.md)."""
-
-    b: EllBucket
-    lo: int
-    hi: int
-
-    def tree_flatten(self):
-        return (self.b,), (self.lo, self.hi)
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(b=children[0], lo=aux[0], hi=aux[1])
-
-
-def _unwrap(bucket):
-    """(EllBucket, gather-slice bounds or None) for either bucket kind."""
-    if isinstance(bucket, SlicedBucket):
-        return bucket.b, (bucket.lo, bucket.hi)
-    return bucket, None
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass(frozen=True)
 class ShardEll:
     """Stacked ELL layouts of all shards' local graphs. Every array has
     a leading shard axis [P] so the structure shards along the mesh
     axis; strip it inside shard_map with ``local_shard_ell``.
-    ``sentinel`` is the STATIC padding edge id (= e_max at build)."""
+    ``sentinel`` is the STATIC padding edge id (= e_max at build).
+
+    When a layout is column-SEGMENTED (its gather table exceeds the
+    seg threshold), its buckets carry an extra segment axis —
+    row_ids (P, S, R_w), nbr/edge_id (P, S, R_w*w), padded to uniform
+    shapes like ops.device_graph.SegmentedEll — and the matching
+    ``*_bounds`` tuple holds the static equal-edge column ranges. The
+    kernels then sweep segments with ONE lax.scan body
+    (shard_sweep): the unrolled segmented programs either SIGKILLed
+    the remote compiler (GAT at rmat20) or ran 7x slow at products
+    scale from buffer churn."""
 
     fwd: tuple    # tuple[EllBucket, ...] rows = local rows [0, nv_pad)
     trans: tuple  # tuple[EllBucket, ...] rows = ext-local cols [0, nv_pad+h_max)
     sentinel: int = 0
+    fwd_bounds: tuple = None    # static ((lo, hi), ...) or None
+    trans_bounds: tuple = None
 
     def tree_flatten(self):
-        return (self.fwd, self.trans), (self.sentinel,)
+        return (self.fwd, self.trans), (self.sentinel, self.fwd_bounds,
+                                        self.trans_bounds)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(fwd=children[0], trans=children[1], sentinel=aux[0])
+        return cls(fwd=children[0], trans=children[1], sentinel=aux[0],
+                   fwd_bounds=aux[1], trans_bounds=aux[2])
+
+
+def _iter_shard(buckets: tuple, bounds):
+    """Unrolled iteration over a (possibly segmented) stripped layout:
+    yields (bucket_view, (lo, hi) or None)."""
+    if bounds is None:
+        for b in buckets:
+            yield b, None
+        return
+    for s, (lo, hi) in enumerate(bounds):
+        for b in buckets:
+            eid = None if b.edge_id is None else b.edge_id[s]
+            yield (EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
+                             edge_id=eid, width=b.width), (lo, hi))
+
+
+def shard_sweep(buckets: tuple, bounds, carry, tables: tuple, bucket_fn,
+                packed=None):
+    """Run ``bucket_fn(carry, bucket, packed_slice, *table_slices)``
+    over a stripped shard layout — lax.scan over the stacked segment
+    axis when segmented (ops.device_graph.sweep_stacked; GAB_SEG_SCAN=0
+    forces unrolled), plain loop otherwise. ``tables`` are gather
+    tables sliced per segment; per-row tables must be closed over."""
+    import os
+
+    from graphaibench_tpu.ops.device_graph import sweep_stacked
+
+    if bounds is not None and len(bounds) >= 2 and os.environ.get(
+            "GAB_SEG_SCAN", "").strip().lower() not in (
+                "0", "false", "off", "no"):
+        return sweep_stacked(bounds, buckets, carry, tables, bucket_fn,
+                             packed)
+    for k, (b, sl) in enumerate(_iter_shard(buckets, bounds)):
+        if bounds is None:
+            pk = None if packed is None else packed[k]
+        else:
+            i = k % max(len(buckets), 1)
+            s = k // max(len(buckets), 1)
+            pk = None if packed is None else packed[i][s]
+        ts = tuple(t if sl is None else t[sl[0]:sl[1]] for t in tables)
+        carry = bucket_fn(carry, b, pk, *ts)
+    return carry
 
 
 def strip_shard(tree):
@@ -157,18 +184,37 @@ def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
 
 
 def _stack_layout(per_shard_lists, num_shards, sentinel, bounds):
-    """Stack per-shard bucket lists; when ``bounds`` is non-None the
+    """Stack per-shard bucket lists. ``bounds`` non-None means the
     lists are per-segment (one entry per bounds range, aligned across
-    shards because the ranges are computed from the GLOBAL column
-    histogram) and each stacked bucket is wrapped in a SlicedBucket
-    carrying its static slice."""
+    shards because the ranges come from the GLOBAL column histogram):
+    the result is one EllBucket per width with arrays stacked over
+    (P, S) — row_ids (P, S, R_w), nbr/edge_id (P, S, R_w*w), padded to
+    the max rows over BOTH axes (padding rows: row 0, nbr 0, edge_id =
+    sentinel -> zero contribution). Uniform shapes let the kernels
+    lax.scan the segment axis (shard_sweep)."""
     if bounds is None:
         return _stack_bucket_lists(per_shard_lists, num_shards, sentinel)
+    widths = sorted({b.width for bl in per_shard_lists
+                     for seg in bl for b in seg})
+    nseg = len(bounds)
     out = []
-    for k, (lo, hi) in enumerate(bounds):
-        stacked = _stack_bucket_lists([bl[k] for bl in per_shard_lists],
-                                      num_shards, sentinel)
-        out.extend(SlicedBucket(b=b, lo=lo, hi=hi) for b in stacked)
+    for w in widths:
+        rmax = max((b.rows for bl in per_shard_lists for seg in bl
+                    for b in seg if b.width == w), default=0)
+        rmax = max(rmax, 1)
+        row = np.zeros((num_shards, nseg, rmax), np.int32)
+        nbr = np.zeros((num_shards, nseg, rmax * w), np.int32)
+        eid = np.full((num_shards, nseg, rmax * w), sentinel, np.int32)
+        for p, bl in enumerate(per_shard_lists):
+            for k, seg in enumerate(bl):
+                b = next((b for b in seg if b.width == w), None)
+                if b is None:
+                    continue
+                r = b.rows
+                row[p, k, :r] = b.row_ids
+                nbr[p, k, :r * w] = b.nbr
+                eid[p, k, :r * w] = b.edge_id
+        out.append(EllBucket(row_ids=row, nbr=nbr, edge_id=eid, width=w))
     return tuple(out)
 
 
@@ -258,7 +304,8 @@ def build_shard_ell(sg, split: Optional[int] = None,
     trans = ()
     if with_trans:
         trans = _stack_layout(trans_lists, P, e_max, trans_bounds)
-    return ShardEll(fwd=fwd, trans=trans, sentinel=e_max)
+    return ShardEll(fwd=fwd, trans=trans, sentinel=e_max,
+                    fwd_bounds=fwd_bounds, trans_bounds=trans_bounds)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -290,10 +337,11 @@ def pack_shard_values(se: ShardEll, w: np.ndarray) -> ShardPackedW:
 
     def pk(buckets):
         out = []
-        for bk in buckets:
-            b, _ = _unwrap(bk)
-            eid = np.asarray(b.edge_id)          # (P, R*W) flat
-            out.append(np.take_along_axis(w_pad, eid, axis=1))
+        for b in buckets:
+            eid = np.asarray(b.edge_id)      # (P, R*W) or (P, S, R*W)
+            flat = np.take_along_axis(w_pad, eid.reshape(eid.shape[0], -1),
+                                      axis=1)
+            out.append(flat.reshape(eid.shape).astype(w_pad.dtype))
         return tuple(out)
 
     return ShardPackedW(fwd=pk(se.fwd), t=pk(se.trans))
@@ -307,14 +355,11 @@ def drop_edge_ids(se: ShardEll) -> ShardEll:
     sharded P=1 runs sat within ~2 GB of the 16 GB ceiling)."""
 
     def strip_any(bk):
-        if isinstance(bk, SlicedBucket):
-            return dataclasses.replace(
-                bk, b=dataclasses.replace(bk.b, edge_id=None))
         return dataclasses.replace(bk, edge_id=None)
 
-    return ShardEll(fwd=tuple(strip_any(b) for b in se.fwd),
-                    trans=tuple(strip_any(b) for b in se.trans),
-                    sentinel=se.sentinel)
+    return dataclasses.replace(
+        se, fwd=tuple(strip_any(b) for b in se.fwd),
+        trans=tuple(strip_any(b) for b in se.trans))
 
 
 def local_packed_w(wp: ShardPackedW) -> ShardPackedW:
@@ -345,18 +390,21 @@ def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
 
     v_pad = jnp.concatenate([vals, jnp.full((1,), pad_val, vals.dtype)])
     out = init
-    for bk in buckets:
-        b, _ = _unwrap(bk)   # slot reductions ignore the gather slice
-        vb = group_reduce(v_pad[b.edge_id], b.width, kind)
+    for b in buckets:
+        # slot reductions ignore the gather slice: flatten any segment
+        # axis (slot ids are global in [0, e_max])
+        rows = b.row_ids.reshape(-1)
+        vb = group_reduce(v_pad[b.edge_id.reshape(-1)], b.width, kind)
         if kind == "max":
-            out = out.at[b.row_ids].max(vb)
+            out = out.at[rows].max(vb)
         else:
-            out = out.at[b.row_ids].add(vb)
+            out = out.at[rows].add(vb)
     return out
 
 
 def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
-                      kind: str, sentinel: int) -> jnp.ndarray:
+                      kind: str, sentinel: int,
+                      bounds=None) -> jnp.ndarray:
     """out[r] = reduce over this shard's edges (r -> c) of x_ext[c] —
     the rectangular pull-mode reduction (ops.segment.neighbor_reduce's
     sharded twin), used by the distributed frontier solvers. ``x_ext``
@@ -371,23 +419,26 @@ def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
     ident = {"min": hi, "max": lo, "sum": 0}[kind]
     ident = jnp.asarray(ident, x_ext.dtype)
     out = jnp.full((n_out,), ident, x_ext.dtype)
-    for bk in buckets:
-        b, sl = _unwrap(bk)
-        xs = x_ext if sl is None else x_ext[sl[0]:sl[1]]
-        vb = jnp.where(b.edge_id == sentinel, ident, xs[b.nbr])
-        vb = group_reduce(vb, b.width, kind)
-        if kind == "min":
-            out = out.at[b.row_ids].min(vb)
-        elif kind == "max":
-            out = out.at[b.row_ids].max(vb)
-        else:
-            out = out.at[b.row_ids].add(vb)
-    return out
+
+    def bucket_fn(out, b, _pk, xs):
+        for clo, chi in bucket_row_chunks(b, 1):
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            vb = jnp.where(eid == sentinel, ident, xs[nbr])
+            vb = group_reduce(vb, b.width, kind)
+            if kind == "min":
+                out = out.at[rows].min(vb)
+            elif kind == "max":
+                out = out.at[rows].max(vb)
+            else:
+                out = out.at[rows].add(vb)
+        return out
+
+    return shard_sweep(buckets, bounds, out, (x_ext,), bucket_fn)
 
 
 def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
-                           n_out: int, kind: str,
-                           sentinel: int) -> jnp.ndarray:
+                           n_out: int, kind: str, sentinel: int,
+                           bounds=None) -> jnp.ndarray:
     """out[r] = reduce over this shard's edges (r -> c) of
     (x_ext[c] + w_slot) — the tropical (min-plus / max-plus) pull
     reduction behind distributed SSSP relaxation. ``packed[i]`` aligns
@@ -403,21 +454,26 @@ def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
 
     ident = jnp.asarray(ident, x_ext.dtype)
     out = jnp.full((n_out,), ident, x_ext.dtype)
-    for i, bk in enumerate(buckets):
-        b, sl = _unwrap(bk)
-        xs = x_ext if sl is None else x_ext[sl[0]:sl[1]]
-        vb = jnp.where(b.edge_id == sentinel, ident,
-                       xs[b.nbr] + packed[i].astype(x_ext.dtype))
-        vb = group_reduce(vb, b.width, kind)
-        if kind == "min":
-            out = out.at[b.row_ids].min(vb)
-        else:
-            out = out.at[b.row_ids].max(vb)
-    return out
+
+    def bucket_fn(out, b, pk, xs):
+        w = b.width
+        for clo, chi in bucket_row_chunks(b, 1):
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            wb = pk[clo * w:chi * w]
+            vb = jnp.where(eid == sentinel, ident,
+                           xs[nbr] + wb.astype(x_ext.dtype))
+            vb = group_reduce(vb, w, kind)
+            if kind == "min":
+                out = out.at[rows].min(vb)
+            else:
+                out = out.at[rows].max(vb)
+        return out
+
+    return shard_sweep(buckets, bounds, out, (x_ext,), bucket_fn, packed)
 
 
 def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
-               n_out: int) -> jnp.ndarray:
+               n_out: int, bounds=None) -> jnp.ndarray:
     """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``
     already carries the sentinel zero slot. Sliced buckets gather from
     their static x slice (column-segmented fast-gather window). At
@@ -427,20 +483,24 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
 
     base = x.dtype
     x = x.astype(_shard_spmm_gather_dtype(x.shape[0], base))
-    out = jnp.zeros((n_out, x.shape[1]), base)
-    for bk in buckets:
-        b, sl = _unwrap(bk)
-        xs = x if sl is None else x[sl[0]:sl[1]]
-        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+    f = x.shape[1]
+    out = jnp.zeros((n_out, f), base)
+
+    def bucket_fn(out, b, _pk, xs):
+        for lo, hi in bucket_row_chunks(b, f):
             rows, nbr, eid = b.slot_slice(lo, hi)
-            prod = xs[nbr] * w_pad[eid][:, None]       # flat (rw, F)
-            out = out.at[rows].add(
-                group_sum_cols(prod, b.width).astype(base))
-    return out
+            w = b.width
+            contrib = jnp.einsum("rw,rwf->rf",
+                                 w_pad[eid].reshape(-1, w),
+                                 xs[nbr.reshape(-1, w)])
+            out = out.at[rows].add(contrib.astype(base))
+        return out
+
+    return shard_sweep(buckets, bounds, out, (x,), bucket_fn)
 
 
 def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
-                      n_out: int) -> jnp.ndarray:
+                      n_out: int, bounds=None) -> jnp.ndarray:
     """out[r] += sum_w packed[i] * x[nbr]: the pre-gathered-weight twin
     of _ell_apply — no per-slot edge-id gather at all. Gathered operand
     rounds to bf16 at scale (same policy as _ell_apply)."""
@@ -448,17 +508,20 @@ def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
 
     base = x.dtype
     x = x.astype(_shard_spmm_gather_dtype(x.shape[0], base))
-    out = jnp.zeros((n_out, x.shape[1]), base)
-    for i, bk in enumerate(buckets):
-        b, sl = _unwrap(bk)
-        xs = x if sl is None else x[sl[0]:sl[1]]
+    f = x.shape[1]
+    out = jnp.zeros((n_out, f), base)
+
+    def bucket_fn(out, b, pk, xs):
         w = b.width
-        for lo, hi in bucket_row_chunks(b, x.shape[1]):
+        for lo, hi in bucket_row_chunks(b, f):
             rows, nbr, _ = b.slot_slice(lo, hi)
-            wb = packed[i][lo * w:hi * w]              # flat (rw,)
-            prod = xs[nbr] * wb[:, None]
-            out = out.at[rows].add(group_sum_cols(prod, w).astype(base))
-    return out
+            wb = pk[lo * w:hi * w]                     # flat (rw,)
+            contrib = jnp.einsum("rw,rwf->rf", wb.reshape(-1, w),
+                                 xs[nbr.reshape(-1, w)])
+            out = out.at[rows].add(contrib.astype(base))
+        return out
+
+    return shard_sweep(buckets, bounds, out, (x,), bucket_fn, packed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -468,16 +531,18 @@ def slot_spmm_packed(n_out: int, se: ShardEll, wp: ShardPackedW,
     (GCN/SAGE aggregation norms — constant over training). Only ``x``
     carries a gradient; the weight cotangent is zero by construction
     (use slot_spmm for runtime-differentiable per-edge values)."""
-    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out)
+    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out, se.fwd_bounds)
 
 
 def _slot_spmm_packed_fwd(n_out, se, wp, x):
-    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out), (se, wp, x)
+    return (_ell_apply_packed(se.fwd, wp.fwd, x, n_out, se.fwd_bounds),
+            (se, wp, x))
 
 
 def _slot_spmm_packed_bwd(n_out, res, ct):
     se, wp, x = res
-    dx = _ell_apply_packed(se.trans, wp.t, ct, x.shape[0])
+    dx = _ell_apply_packed(se.trans, wp.t, ct, x.shape[0],
+                           se.trans_bounds)
     return (_zero_cotangent(se), _zero_cotangent(wp), dx)
 
 
@@ -509,7 +574,7 @@ def slot_spmm(n_out: int, se: ShardEll, w: jnp.ndarray, x: jnp.ndarray,
     Differentiable in ``w`` and ``x``; the x-adjoint streams through the
     transpose buckets instead of autodiff's (e_max,)-scatter."""
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
-    return _ell_apply(se.fwd, w_pad, x, n_out)
+    return _ell_apply(se.fwd, w_pad, x, n_out, se.fwd_bounds)
 
 
 def _slot_spmm_fwd(n_out, se, w, x, edge_src, col_idx, valid):
@@ -520,7 +585,7 @@ def _slot_spmm_fwd(n_out, se, w, x, edge_src, col_idx, valid):
 def _slot_spmm_bwd(n_out, res, ct):
     se, w, x, edge_src, col_idx, valid = res
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
-    dx = _ell_apply(se.trans, w_pad, ct, x.shape[0])
+    dx = _ell_apply(se.trans, w_pad, ct, x.shape[0], se.trans_bounds)
     dw = jnp.where(valid, _slot_sddmm_dot(ct, x, edge_src, col_idx), 0.0)
     return (_zero_cotangent(se), dw, dx, _zero_cotangent(edge_src),
             _zero_cotangent(col_idx), _zero_cotangent(valid))
@@ -561,11 +626,11 @@ def _norm_consts_local(se: ShardEll, logits, n_out):
 
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     denom = jnp.zeros((n_out,), logits.dtype)
-    for bk in se.fwd:
-        b, _ = _unwrap(bk)
-        lb = l_pad[b.edge_id].reshape(-1, b.width)
-        eb = jnp.exp(lb - m[b.row_ids][:, None]).reshape(-1)
-        denom = denom.at[b.row_ids].add(group_reduce(eb, b.width, "sum"))
+    for b in se.fwd:
+        rows = b.row_ids.reshape(-1)   # slot-space: flatten any seg axis
+        lb = l_pad[b.edge_id.reshape(-1)].reshape(-1, b.width)
+        eb = jnp.exp(lb - m[rows][:, None]).reshape(-1)
+        denom = denom.at[rows].add(group_reduce(eb, b.width, "sum"))
     # NORMAL f32 floor: 1e-38 is subnormal and flushes to zero under XLA,
     # making z=inf on edgeless rows (CLAUDE.md round-2 rule)
     z = 1.0 / jnp.maximum(denom, 1e-30)
@@ -589,8 +654,7 @@ def _gat_fwd_pass(se, logits, x, m, z, n_out):
 
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     out = jnp.zeros((n_out, x.shape[1]), x.dtype)
-    for bk in se.fwd:
-        b, sl = _unwrap(bk)
+    for b, sl in _iter_shard(se.fwd, se.fwd_bounds):
         xs = x if sl is None else x[sl[0]:sl[1]]
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
             rows, nbr, eid = b.slot_slice(lo, hi)
@@ -616,7 +680,7 @@ def _gat_fused_bwd(n_out, res, ct):
     s_soft = jnp.where(valid, s_soft, 0.0)            # kill garbage slots
     s_pad = jnp.concatenate([s_soft, jnp.zeros((1,), s_soft.dtype)])
     # dx: adjoint aggregation through the transpose buckets
-    dx = _ell_apply(se.trans, s_pad, ct, x.shape[0])
+    dx = _ell_apply(se.trans, s_pad, ct, x.shape[0], se.trans_bounds)
     # softmax adjoint: dl = s * (raw - rowsum(s * raw))
     raw = _slot_sddmm_dot(ct, x, edge_src, col_idx)
     inner = ell_row_reduce(se.fwd, s_soft * raw, n_out, "sum")
@@ -690,8 +754,7 @@ def _sr_rowmax_local(se: ShardEll, sr_ext, n_out, sent):
 
     sr2 = jnp.stack([sr_ext, sr_ext], axis=1)
     out = jnp.full((n_out,), -jnp.inf, sr_ext.dtype)
-    for bk in se.fwd:
-        b, sl_ = _unwrap(bk)
+    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds):
         tb = sr2 if sl_ is None else sr2[sl_[0]:sl_[1]]
         # chunked: the (slots, 2) gather output pads its minor dim to
         # 128 lanes (64x); one hub bucket's unchunked temp OOM'd the
@@ -713,8 +776,7 @@ def _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent):
                          axis=1).astype(gdt)                 # (nv_ext, 1+F)
     chunks = _col_chunks_local(f + 1, jnp.dtype(gdt).itemsize)
     acc = jnp.zeros((n_out, f + 1), h_ext.dtype)
-    for bk in se.fwd:
-        b, sl_ = _unwrap(bk)
+    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds):
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 1, cap):
             rows, nbr, eid = b.slot_slice(clo, chi)
@@ -765,8 +827,7 @@ def _gat_v2_bwd_local(n_out, res, ct):
     xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1).astype(gdt)
     chunks1 = _col_chunks_local(f + 1, jnp.dtype(gdt).itemsize)
     dsl = jnp.zeros((n_out,), sl.dtype)
-    for bk in se.fwd:
-        b, sl_ = _unwrap(bk)
+    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds):
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 1, cap):
             rows, nbr, eid = b.slot_slice(clo, chi)
@@ -797,8 +858,7 @@ def _gat_v2_bwd_local(n_out, res, ct):
     nv_ext = h_ext.shape[0]
     dh = jnp.zeros((nv_ext, f), h_ext.dtype)
     dsr = jnp.zeros((nv_ext,), sr_ext.dtype)
-    for bk in se.trans:
-        b, sl_ = _unwrap(bk)
+    for b, sl_ in _iter_shard(se.trans, se.trans_bounds):
         ts = tb if sl_ is None else tb[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 4, cap):
             rows, nbr, eid = b.slot_slice(clo, chi)

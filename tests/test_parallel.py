@@ -220,12 +220,8 @@ def test_overlap_split_matches_unified(mesh):
 
     # the edge partition is exact: own + halo slot counts = valid edges
     def n_slots(se):
-        from graphaibench_tpu.parallel.shard_ell import _unwrap
-        tot = 0
-        for bk in se.fwd:
-            b, _ = _unwrap(bk)
-            tot += int((np.asarray(b.edge_id) != se.sentinel).sum())
-        return tot
+        return sum(int((np.asarray(b.edge_id) != se.sentinel).sum())
+                   for b in se.fwd)
 
     n_all = n_slots(build_shard_ell(sg))
     n_own = n_slots(build_shard_ell(sg, part="own"))

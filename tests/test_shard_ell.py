@@ -154,8 +154,9 @@ def test_segmented_layout_matches_flat(shard_setup):
     gradient (the column-segmented layout is a pure re-tiling)."""
     sg, se_flat = shard_setup
     se_seg = build_shard_ell(sg, seg_rows=16, seg_min_rows=32)
-    from graphaibench_tpu.parallel.shard_ell import SlicedBucket
-    assert any(isinstance(b, SlicedBucket) for b in se_seg.fwd)
+    assert se_seg.fwd_bounds is not None and len(se_seg.fwd_bounds) >= 2
+    # stacked segment axis present: (P, S, R)
+    assert all(b.row_ids.ndim == 3 for b in se_seg.fwd)
     rng = np.random.default_rng(3)
     nv_ext = sg.nv_pad + sg.h_max
     for p in range(2):
