@@ -47,13 +47,25 @@ def main():
         strip_shard,
     )
 
+    def tick(tag, t0):
+        t1 = time.perf_counter()
+        print(f"[prof] host {tag}: {t1 - t0:.1f} s", file=sys.stderr,
+              flush=True)
+        return t1
+
+    t = time.perf_counter()
     g = rmat(args.scale, args.ef, seed=0, cache=True)
+    t = tick("rmat", t)
     prepped = prepare_graph(g, "gcn")
     w = aggregation_weights(prepped, "gcn")
+    t = tick("prepare", t)
     sg = build_sharded_graph(prepped, w, 1)
+    t = tick("build_sharded_graph", t)
     se = build_shard_ell(sg)
+    t = tick("build_shard_ell", t)
     wp = pack_shard_values(se, sg.edge_w)
     se = drop_edge_ids(se)
+    t = tick("pack", t)
     mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
     nv_pad, nv_ext = sg.nv_pad, sg.nv_pad + sg.h_max
     out = {"graph": f"rmat{args.scale} ne={prepped.ne} nv_pad={nv_pad}"}
