@@ -262,8 +262,11 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         dt = time.perf_counter() - t0
         ok = np.allclose(scores, verifiers.bc_serial(g, [source]), rtol=1e-4)
     elif kernel == "kcore":
-        dg = to_device_graph(g, with_transpose=False, with_ell=pull_ok)
-        core = np.asarray(k_core(dg))
+        if pull_ok:
+            core = np.asarray(k_core(None, host=g))   # h-index fixpoint
+        else:
+            dg = to_device_graph(g, with_transpose=False, with_ell=False)
+            core = np.asarray(k_core(dg))
         dt = time.perf_counter() - t0
         print(f"max_coreness = {core.max()}")
         ok = np.array_equal(core, verifiers.kcore_serial(g))

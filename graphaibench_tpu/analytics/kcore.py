@@ -1,29 +1,113 @@
-"""k-core decomposition: bulk peeling.
+"""k-core decomposition.
 
-The reference peels one degree level at a time with a worklist
-(src/coreness/omp_base.cc:11-60). The dense TPU version peels ALL
-vertices with degree <= k in one pass per sweep, recomputing live
-degrees with a bucketed neighbor reduction — O(E) per sweep.
+Two formulations:
 
-The OUTER level loop runs on HOST (one jitted fixpoint per level, a
-scalar fetch between levels): a fully-jitted nested while_loop packs
-hundreds of O(E) sweeps into ONE device call, which crashed the TPU
-worker process at rmat19/20 through the tunnel (runtime watchdog;
-tools/results/kcore19_{plain,unroll}.json — both layouts, so not a
-layout fault). Host syncs cost ~10 ms/level through the tunnel; the
-level counter also JUMPS to the minimum live degree, skipping empty
-levels entirely (power-law graphs have sparse degree levels near the
-top)."""
+* ``k_core_hindex`` (default when the host CSR is available) — the
+  h-index fixpoint (Lu et al. 2016): core_0 = deg, core_{t+1}[v] =
+  min(core_t[v], H(core_t[N(v)])), which converges to the coreness with
+  ALL levels peeling simultaneously. Measured iteration counts: rmat14
+  18, rmat17 32 (tools/kcore_hindex_probe.py) — vs the bulk-peel's
+  ~1300 cascade sweeps at rmat19 (133.5 s on chip,
+  tools/results/kcore19_hostloop.json). Each sweep is one dense O(E)
+  neighbor-core gather over a NO-SPLIT ELL layout (pow2 widths up to
+  max degree: the h-index of a row is not decomposable over the split
+  virtual rows the SpMM layout uses), a per-row descending sort, and
+  h = #{i : sorted_i >= i+1}.
+
+* ``k_core_peel`` — bulk peeling, the reference's shape
+  (src/coreness/omp_base.cc:11-60): peel ALL deg<=k vertices per sweep,
+  host-driven outer level loop (a fully-jitted nested while_loop packed
+  hundreds of O(E) sweeps into one device call and crashed the TPU
+  worker through the tunnel — runtime watchdog). Kept for DeviceGraph-
+  only callers and as the oracle cross-check.
+"""
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from graphaibench_tpu.ops.device_graph import DeviceGraph
+from graphaibench_tpu.graph.csr import CSRGraph
+from graphaibench_tpu.ops.device_graph import DeviceGraph, EllBucket
 from graphaibench_tpu.ops.segment import neighbor_reduce
+
+
+# ---------------------------------------------------------------------------
+# h-index fixpoint
+# ---------------------------------------------------------------------------
+
+
+def _hindex_layout(g: CSRGraph) -> tuple:
+    """NO-SPLIT degree-bucketed ELL: pow2 widths {4..max_degree}. Heavy
+    rows stay whole (one row per vertex) because the per-row h-index
+    needs the full neighbor multiset — unlike sum/max reductions it does
+    not decompose over split virtual rows."""
+    from graphaibench_tpu.ops.device_graph import _pack_rows
+
+    deg = g.degrees().astype(np.int64)
+    if g.nv == 0 or g.ne == 0:
+        return ()
+    maxdeg = int(deg.max())
+    split = 4
+    while split < maxdeg:
+        split *= 2
+    widths = [4]
+    while widths[-1] < split:
+        widths.append(widths[-1] * 2)
+    return tuple(_pack_rows(np.arange(g.nv, dtype=np.int32),
+                            g.row_ptr[:-1], deg, g.col_idx, None, g.ne,
+                            widths, split))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _hindex_sweep(core: jnp.ndarray, buckets: tuple, sentinel: int):
+    """One fixpoint sweep: new[v] = min(core[v], H(core[N(v)]))."""
+    from graphaibench_tpu.ops.spmm import bucket_row_chunks
+
+    c2 = jnp.stack([core, core], axis=1)      # 2-col packed (row rate 2x)
+    new = core
+    for b in buckets:
+        w = b.width
+        ladder = jnp.arange(1, w + 1, dtype=core.dtype)[None, :]
+        for clo, chi in bucket_row_chunks(b, 2):
+            rows, nbr, eid = b.slot_slice(clo, chi)
+            vals = c2[nbr][:, 0].reshape(-1, w)
+            vals = jnp.where(eid.reshape(-1, w) == sentinel, 0, vals)
+            # h <= row degree <= w: clamping keeps h exact and the sort
+            # keys small
+            vals = jnp.minimum(vals, w)
+            sv = -jnp.sort(-vals, axis=1)     # descending
+            h = jnp.sum((sv >= ladder).astype(core.dtype), axis=1)
+            # rows are unique (no splitting): min against current core
+            new = new.at[rows].min(h)
+    changed = jnp.sum((new != core).astype(jnp.int32))
+    return new, changed
+
+
+def k_core_hindex(g: CSRGraph, deg: Optional[jnp.ndarray] = None,
+                  buckets: Optional[tuple] = None) -> jnp.ndarray:
+    """Coreness via the h-index fixpoint (host CSR input; builds its own
+    no-split layout unless ``buckets`` pre-built via _hindex_layout).
+    Host-drives the iteration with one scalar sync per sweep (~10 ms
+    through the tunnel, vs ~hundreds of ms per O(E) sweep)."""
+    if buckets is None:
+        buckets = _hindex_layout(g)
+    core = jnp.asarray(g.degrees().astype(np.int32)) if deg is None else deg
+    if not buckets:
+        return core
+    while True:
+        core, changed = _hindex_sweep(core, buckets, g.ne)
+        if int(changed) == 0:
+            return core
+
+
+# ---------------------------------------------------------------------------
+# bulk peeling (legacy / DeviceGraph-only path)
+# ---------------------------------------------------------------------------
 
 
 def _live_degrees(g: DeviceGraph, alive):
@@ -59,8 +143,8 @@ def _peel_level(g: DeviceGraph, core, alive, deg, k):
     return core, alive, deg, min_live
 
 
-def k_core(g: DeviceGraph) -> jnp.ndarray:
-    """Coreness of every vertex (matches transforms.k_core_decomposition)."""
+def k_core_peel(g: DeviceGraph) -> jnp.ndarray:
+    """Bulk-peel coreness (matches transforms.k_core_decomposition)."""
     imax = jnp.iinfo(jnp.int32).max
     core = jnp.zeros(g.nv, jnp.int32)
     alive = jnp.ones(g.nv, bool)
@@ -73,3 +157,12 @@ def k_core(g: DeviceGraph) -> jnp.ndarray:
         if nxt == imax:              # nothing alive
             return core
         k = max(k + 1, nxt)
+
+
+def k_core(g: DeviceGraph, host: Optional[CSRGraph] = None) -> jnp.ndarray:
+    """Coreness of every vertex (matches transforms.k_core_decomposition).
+    With the host CSR available the h-index fixpoint runs (tens of
+    sweeps); otherwise the bulk-peel host loop."""
+    if host is not None:
+        return k_core_hindex(host)
+    return k_core_peel(g)

@@ -101,6 +101,25 @@ def test_kcore(small, small_dev):
     np.testing.assert_array_equal(core, verifiers.kcore_serial(small))
 
 
+def test_kcore_hindex(small):
+    # the h-index fixpoint path (no-split layout, the at-scale default)
+    from graphaibench_tpu.analytics.kcore import k_core_hindex
+
+    core = np.asarray(k_core_hindex(small))
+    np.testing.assert_array_equal(core, verifiers.kcore_serial(small))
+
+
+def test_kcore_hindex_rmat():
+    # power-law graph with hub rows wider than the SpMM split width:
+    # exercises the wide no-split buckets + the per-row sort
+    from graphaibench_tpu.analytics.kcore import k_core_hindex
+    from graphaibench_tpu.graph.generators import rmat
+
+    g = rmat(11, 8, seed=3)
+    core = np.asarray(k_core_hindex(g))
+    np.testing.assert_array_equal(core, verifiers.kcore_serial(g))
+
+
 def test_coloring(small, small_dev):
     colors = np.asarray(color(small_dev))
     assert verifiers.coloring_valid(small, colors)
