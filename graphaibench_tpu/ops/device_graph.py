@@ -122,18 +122,31 @@ class SegmentedEll:
     ~10x across segments and max-padding blew the stacked slots to 3.2x
     ne at rmat20 (seg_pad_audit.json) — vs ~1.2x with balanced edges.
     The scan body handles the varying range widths with one
-    dynamic-slice x window of ``window`` rows per step."""
+    dynamic-slice x window of ``window`` rows per step.
+
+    GROUPED stacking (round 5): even under equal-edge bounds the
+    per-(width, segment) row counts still vary enough that padding every
+    width to its max-over-segments cost 1.79x ne slots at rmat20
+    (seg_pad_audit.json) — the measured 17% gap to the exact per-segment
+    layout. ``buckets[i]`` is therefore one width's ROW-COUNT-SORTED
+    GROUP of segments (possibly several buckets per width), stacked over
+    ``group_segs[i]`` (the static segment ids, aligned leading axis) and
+    padded only to the group max; empty (width, segment) pairs vanish
+    entirely. The sweep scans each group (``sweep_grouped``), so program
+    size stays O(widths x groups)."""
 
     bounds: tuple                  # static ((lo, hi), ...) column ranges
     nv: int                        # static gather-table rows
-    buckets: tuple                 # tuple[EllBucket, ...], leading [S]
+    buckets: tuple                 # tuple[EllBucket, ...], leading [Sg]
+    group_segs: tuple = None       # static tuple[tuple[int, ...], ...]
 
     def tree_flatten(self):
-        return (self.buckets,), (self.bounds, self.nv)
+        return (self.buckets,), (self.bounds, self.nv, self.group_segs)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(bounds=aux[0], nv=aux[1], buckets=children[0])
+        return cls(bounds=aux[0], nv=aux[1], buckets=children[0],
+                   group_segs=aux[2])
 
     @property
     def nseg(self) -> int:
@@ -147,12 +160,24 @@ class SegmentedEll:
     @property
     def segs(self) -> tuple:
         """Per-segment bucket views (leading-axis slices — XLA slices at
-        trace time, no copies) for unrolled consumers."""
-        return tuple(
-            tuple(EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
-                            edge_id=b.edge_id[s], width=b.width)
-                  for b in self.buckets)
-            for s in range(self.nseg))
+        trace time, no copies) for unrolled consumers. With grouped
+        stacking a segment's buckets are scattered across groups; views
+        are reassembled in bucket order (padding-only group rows were
+        never materialized, so absent (width, segment) pairs are simply
+        missing from that segment's tuple)."""
+        if self.group_segs is None:
+            return tuple(
+                tuple(EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
+                                edge_id=b.edge_id[s], width=b.width)
+                      for b in self.buckets)
+                for s in range(self.nseg))
+        per_seg: list = [[] for _ in range(self.nseg)]
+        for segs_ids, b in zip(self.group_segs, self.buckets):
+            for j, s in enumerate(segs_ids):
+                per_seg[s].append(
+                    EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
+                              edge_id=b.edge_id[j], width=b.width))
+        return tuple(tuple(bl) for bl in per_seg)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -269,12 +294,21 @@ def layout_buckets(g: DeviceGraph) -> tuple:
 
 def iter_layout(g: DeviceGraph, packed=None):
     """Yield (bucket_view, (lo, hi), packed_slice) for the unrolled
-    consumption order (segment-major on segmented graphs). ``packed``
-    is a per-width tuple aligned with ``layout_buckets``; its yielded
-    slice matches the bucket view ([s] leading-axis slice on segmented
+    consumption order (group-major on segmented graphs). ``packed``
+    is a per-bucket tuple aligned with ``layout_buckets``; its yielded
+    slice matches the bucket view ([j] leading-axis slice on segmented
     graphs), or None when no packed values were passed."""
     if g.seg_ell is not None:
         ss = g.seg_ell
+        if ss.group_segs is not None:
+            for gi, (segs_ids, b) in enumerate(zip(ss.group_segs,
+                                                   ss.buckets)):
+                for j, s in enumerate(segs_ids):
+                    bv = EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
+                                   edge_id=b.edge_id[j], width=b.width)
+                    yield bv, ss.bounds[s], (
+                        None if packed is None else packed[gi][j])
+            return
         for s, bounds in enumerate(ss.bounds):
             for i, b in enumerate(ss.buckets):
                 bv = EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
@@ -343,6 +377,57 @@ def sweep_stacked(bounds: tuple, buckets: tuple, carry, tables: tuple,
     return carry
 
 
+def sweep_grouped(ss: "SegmentedEll", carry, tables: tuple, bucket_fn,
+                  packed=None, scan: bool = True):
+    """Sweep a GROUP-stacked segmented layout: one lax.scan per (width,
+    group) over its row-count-sorted segments — same O(widths x groups)
+    program size as the uniform scan, with padding only to each group's
+    max rows (1.79x -> ~1.1x ne slots at rmat20). Groups of one segment
+    run inline (no scan machinery). ``scan=False`` unrolls every
+    segment (the GAB_SEG_SCAN=0 ablation path)."""
+    bounds = ss.bounds
+    # each group's dynamic slices read [lo, lo + win_g); jax clamps
+    # out-of-range starts (shifting the window base silently), so the
+    # tables must be padded to the worst group's reach
+    rows_needed = max((hi for _, hi in bounds), default=1)
+    for segs_ids in ss.group_segs:
+        if len(segs_ids) > 1 and scan:
+            win_g = max(bounds[s][1] - bounds[s][0] for s in segs_ids)
+            reach = max(bounds[s][0] for s in segs_ids) + win_g
+            rows_needed = max(rows_needed, reach)
+
+    def pad_tab(t):
+        pad = rows_needed - t.shape[0]
+        if pad <= 0:
+            return t
+        return jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1))
+
+    tabs = tuple(pad_tab(t) for t in tables)
+    for gi, (segs_ids, b) in enumerate(zip(ss.group_segs, ss.buckets)):
+        pk = None if packed is None else packed[gi]
+        if len(segs_ids) == 1 or not scan:
+            for j, s in enumerate(segs_ids):
+                lo, hi = bounds[s]
+                bv = EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
+                               edge_id=b.edge_id[j], width=b.width)
+                ts = tuple(t[lo:hi] for t in tables)
+                carry = bucket_fn(carry, bv,
+                                  None if pk is None else pk[j], *ts)
+            continue
+        win = max(bounds[s][1] - bounds[s][0] for s in segs_ids)
+        los = jnp.asarray(np.asarray([bounds[s][0] for s in segs_ids],
+                                     np.int32))
+
+        def body(c, ins, win=win):
+            lo_s, bk, pkk = ins
+            ts = tuple(jax.lax.dynamic_slice_in_dim(t, lo_s, win, axis=0)
+                       for t in tabs)
+            return bucket_fn(c, bk, pkk, *ts), None
+
+        carry, _ = jax.lax.scan(body, carry, (los, b, pk))
+    return carry
+
+
 def seg_sweep(g: DeviceGraph, carry, tables: tuple, bucket_fn,
               packed=None):
     """Run ``bucket_fn(carry, bucket, packed_slice, *table_slices)``
@@ -356,10 +441,14 @@ def seg_sweep(g: DeviceGraph, carry, tables: tuple, bucket_fn,
     (row ids are global in every layout). ``packed`` is a per-width
     tuple aligned with ``layout_buckets``.
 
-    At scale the sweep is a ``lax.scan`` over the [S]-stacked bucket
-    tables (sweep_stacked); otherwise the trace-time unrolled loop."""
+    At scale the sweep is a ``lax.scan`` per stacked group
+    (sweep_grouped; sweep_stacked for legacy uniform stacks); otherwise
+    the trace-time unrolled loop."""
+    ss = g.seg_ell
+    if ss is not None and ss.group_segs is not None:
+        return sweep_grouped(ss, carry, tables, bucket_fn, packed,
+                             scan=use_seg_scan(g))
     if use_seg_scan(g):
-        ss = g.seg_ell
         return sweep_stacked(ss.bounds, ss.buckets, carry, tables,
                              bucket_fn, packed)
     for b, (lo, hi), pk in iter_layout(g, packed):
@@ -544,6 +633,56 @@ def _pack_segment(es, ed, eid, ne, split, widths):
                             ne, widths, split, as_numpy=True))
 
 
+def _group_segments(seg_lists, sentinel: int, max_groups: int = 4):
+    """Stack per-segment bucket lists into per-width ROW-SORTED GROUPS:
+    within a width, segments are sorted by row count and greedily cut
+    where the group max exceeds ``ratio``x the next segment's rows
+    (ratio grows until <= max_groups groups). Padding only reaches each
+    group's max (1.79x -> ~1.1x ne slots at rmat20) and empty
+    (width, segment) pairs are dropped entirely. Returns
+    (group_segs, buckets) aligned tuples."""
+    widths = sorted({b.width for bl in seg_lists for b in bl})
+    group_segs, buckets = [], []
+    for w in widths:
+        entries = []
+        for s, bl in enumerate(seg_lists):
+            b = next((b for b in bl if b.width == w), None)
+            if b is not None and b.rows > 0:
+                entries.append((s, b))
+        if not entries:
+            continue
+        entries.sort(key=lambda e: (-e[1].rows, e[0]))
+        ratio = 1.3
+        while True:
+            groups, cur = [], [entries[0]]
+            for e in entries[1:]:
+                if cur[0][1].rows > ratio * e[1].rows:
+                    groups.append(cur)
+                    cur = [e]
+                else:
+                    cur.append(e)
+            groups.append(cur)
+            if len(groups) <= max_groups:
+                break
+            ratio *= 1.5
+        for grp in groups:
+            rmax = max(b.rows for _, b in grp)
+            sg_n = len(grp)
+            row = np.zeros((sg_n, rmax), np.int32)
+            nbr = np.zeros((sg_n, rmax * w), np.int32)
+            eid = np.full((sg_n, rmax * w), sentinel, np.int32)
+            for j, (_s, b) in enumerate(grp):
+                r = b.rows
+                row[j, :r] = b.row_ids
+                nbr[j, :r * w] = b.nbr
+                eid[j, :r * w] = b.edge_id
+            group_segs.append(tuple(s for s, _ in grp))
+            buckets.append(EllBucket(row_ids=jnp.asarray(row),
+                                     nbr=jnp.asarray(nbr),
+                                     edge_id=jnp.asarray(eid), width=w))
+    return tuple(group_segs), tuple(buckets)
+
+
 def _stack_segments(seg_lists, nseg: int, sentinel: int) -> tuple:
     """Pad per-segment bucket lists to uniform shapes per width and
     stack on a leading [S] axis (one device transfer per width)."""
@@ -616,8 +755,15 @@ def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
             # CSR order is preserved by the mask, so src stays grouped
             segs.append(_pack_segment(src[eid], dst[eid] - lo, eid, ne,
                                       split, widths))
-    return SegmentedEll(bounds=bounds, nv=g.nv,
-                        buckets=_stack_segments(segs, nseg, ne))
+    # GAB_SEG_GROUPS: max groups per width (default 4 — more groups pad
+    # less but grow the scan-body count toward the remote-compile
+    # program-size ceiling); 1 = one group
+    # per width (the uniform-stack ablation, minus dropped empties)
+    max_groups = int(os.environ.get("GAB_SEG_GROUPS", "4") or 4)
+    group_segs, buckets = _group_segments(segs, ne,
+                                          max_groups=max(max_groups, 1))
+    return SegmentedEll(bounds=bounds, nv=g.nv, buckets=buckets,
+                        group_segs=group_segs)
 
 
 def build_segorder_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,

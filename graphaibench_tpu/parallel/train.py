@@ -618,7 +618,21 @@ def trainer_from_host(
                                       length=n)
         return p, o, losses
 
+    nv_pad_shard = host["nv_pad"]
+
     def train_steps(params, opt_state, n):
+        # scan-batching exists to amortize the ~10 ms tunnel dispatch on
+        # SMALL graphs; at large scale the scanned sharded step measured
+        # ~5x the plain step at products shape (56.4 vs 11.6 s/step,
+        # tools/results/shard_profile_21b.json vs products_bench4.json —
+        # the scan's buffer management under HBM pressure), so epochs
+        # loop on host there (dispatch is noise next to 11 s steps)
+        if nv_pad_shard >= SEG_ELL_MIN_NV:
+            losses = []
+            for _ in range(n):
+                params, opt_state, loss = train_step(params, opt_state)
+                losses.append(loss)
+            return params, opt_state, jnp.stack(losses)
         return _steps_jit(n, params, opt_state, x_d, lab_d, valid_d,
                           ell_dev, *ga_args)
 

@@ -34,13 +34,17 @@ from graphaibench_tpu.ops.device_graph import (  # noqa: E402
 S = importlib.import_module("graphaibench_tpu.ops.spmm")
 
 
-@pytest.fixture()
-def graphs():
+def _build_graphs():
     g = T.symmetrize(rmat(10, 5, seed=1))
     dg = to_device_graph(g, seg_ell=False)
     dg_seg = dataclasses.replace(dg, seg_ell=build_seg_ell(g, seg_rows=200),
                                  ell=())
     return g, dg, dg_seg
+
+
+@pytest.fixture()
+def graphs():
+    return _build_graphs()
 
 
 def _scan_env(monkeypatch, on: bool):
@@ -127,9 +131,18 @@ def test_scan_program_is_smaller(graphs, monkeypatch):
         y = S.spmm(dgx, wpx, xx, impl="ell")
         return (S.spmm(dgx, wpx, jnp.tanh(y), impl="ell") ** 2).sum()
 
+    # pin uniform stacking: on this tiny graph the grouped default cuts
+    # segments into ~single-segment groups (zero pad, inline stages), so
+    # the scan-vs-unroll mechanism is only visible on uniform stacks; at
+    # scale the groups hold many segments each and the compression
+    # returns (the pad/program tradeoff is GAB_SEG_GROUPS)
+    monkeypatch.setenv("GAB_SEG_GROUPS", "1")
+    g2, dg2, dg_seg2 = _build_graphs()
+    wp2 = pack_edge_values(dg_seg2, jnp.ones(g2.ne, jnp.float32))
+    x2 = jnp.zeros((g2.nv, 16), jnp.float32)
     sizes = {}
     for env in ("0", "1"):
         monkeypatch.setenv("GAB_SEG_SCAN", env)
-        low = jax.jit(jax.grad(step, argnums=2)).lower(dg_seg, wp, x)
+        low = jax.jit(jax.grad(step, argnums=2)).lower(dg_seg2, wp2, x2)
         sizes[env] = len(low.as_text())
     assert sizes["1"] * 2 < sizes["0"], sizes

@@ -26,14 +26,85 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def project(args):
+    """Measured-structure weak-scaling projection (no device work).
+
+    This box has ONE core (nproc=1), so multi-process CPU step timings
+    are timesharing noise; what CAN be measured honestly is the halo
+    EXCHANGE STRUCTURE of real partitions — exact per-shard halo bytes,
+    per-shard edge counts (load balance) — on a weak-scaled rmat chain
+    (per-shard size held at the base scale). Those measured bytes feed
+    the chip-calibrated projection:
+
+      comp  = per-shard edges / measured per-shard kernel rate
+              (rmat17-class tables at weak scaling -> the measured
+              single-chip 2.65e8 e/s x the 0.9 sharded-kernel ratio,
+              tools/sharded_p1_bench.py round-2 chip data)
+      comm  = max-shard halo bytes / link bandwidth
+              (ICI within a host, DCN across hosts)
+
+    Reported both unoverlapped (comp/(comp+comm)) and with the own/halo
+    overlap split (comm hides under interior compute:
+    comp/max(comp, comm_residue))."""
+    import numpy as np
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph import transforms as T
+    from graphaibench_tpu.parallel import build_sharded_graph
+
+    RATE = 2.65e8 * 0.9      # measured chip SpMM rate x sharded ratio
+    ICI = 4.5e10             # v5e per-link ICI B/s (spec)
+    DCN = 1.25e10            # ~100 Gbps/host DCN B/s (spec)
+    chips_per_host = 4       # v5e host granularity
+
+    results = []
+    for i, p in enumerate([1, 2, 4, 8, 16]):
+        scale = args.scale + i
+        g = T.add_selfloop(rmat(scale, 16, seed=0, cache=True))
+        w = T.gcn_edge_norms(g)
+        sg = build_sharded_graph(g, w, p)
+        per_edges = sg.edge_valid.sum(axis=1)
+        halo_rows = np.asarray(sg.halo_counts)
+        halo_bytes = halo_rows * args.feat * 4      # per layer, f32 rows
+        comp = per_edges.max() / RATE
+        link = ICI if p <= chips_per_host else DCN
+        comm = halo_bytes.max() / link
+        rec = dict(
+            shards=p, scale=scale, nv=g.nv, ne=g.ne,
+            per_shard_edges_max=int(per_edges.max()),
+            edge_balance=float(per_edges.max() / max(per_edges.mean(), 1)),
+            halo_rows_max=int(halo_rows.max()),
+            halo_bytes_max=int(halo_bytes.max()),
+            halo_frac=float(halo_rows.sum() / max(g.nv, 1)),
+            link="ici" if p <= chips_per_host else "dcn",
+            comp_ms=comp * 1e3, comm_ms=comm * 1e3,
+            projected_eff_unoverlapped=comp / (comp + comm),
+            projected_eff_overlapped=comp / max(comp, comm),
+        )
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({"metric": "weak_scaling_projection",
+                      "feat": args.feat, "rate_edges_per_s": RATE,
+                      "rows": results}))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="weak", choices=["weak", "strong"])
+    ap.add_argument("--mode", default="weak",
+                    choices=["weak", "strong", "project"])
     ap.add_argument("--scale", type=int, default=14)
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--cpu", action="store_true",
                     help="force a virtual 8-device CPU mesh")
     args = ap.parse_args()
+
+    if args.mode == "project":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return project(args)
 
     if args.cpu:
         os.environ["XLA_FLAGS"] = (

@@ -76,7 +76,19 @@ def main():
         os.environ["GAB_SEG_ELL"] = ("1" if layout.startswith("seg")
                                      and layout != "segorder" else "0")
         os.environ["GAB_SEG_SCAN"] = "0" if layout == "seg_unroll" else "1"
-        gb = GraphBundle.build(g, "gcn")
+        # seg_u: uniform per-width stacking (the round-4 layout, 1.79x
+        # slot pad); seg_g8: 8 groups/width (less pad, more scan bodies);
+        # default grouped stacking is GAB_SEG_GROUPS=4
+        os.environ["GAB_SEG_GROUPS"] = (
+            "1" if layout == "seg_u" else "8" if layout == "seg_g8" else "4")
+        g_l = g
+        if layout == "seg_loc":
+            # locality ordering before segmenting (VERDICT r4 item 2):
+            # BFS/Cuthill-McKee frontier order, then the standard build
+            from graphaibench_tpu.graph import transforms as T
+
+            g_l = T.relabel(g, T.locality_order(g, method="bfs"))
+        gb = GraphBundle.build(g_l, "gcn")
         if layout == "segorder":
             # plain ELL rows grouped by destination segment, GLOBAL ids
             import dataclasses as _dc
@@ -111,7 +123,7 @@ def main():
         del gb, x
         gc.collect()
     for k in ("GAB_SEG_ELL", "GAB_SEG_SCAN", "GAB_SPMM_KERNEL",
-              "GAB_SPMM_BF16"):
+              "GAB_SPMM_BF16", "GAB_SEG_GROUPS"):
         os.environ.pop(k, None)
     print(json.dumps(out), flush=True)
     return 0
