@@ -162,76 +162,139 @@ def decode_graph_device(vg: VbyteGraph) -> CSRGraph:
 
 
 # ---------------------------------------------------------------------------
-# VarintGB: group-sequential stream -> lane-per-vertex scan decode.
+# VarintGB: two-phase decode — tag-position chain, then FLAT values.
 # ---------------------------------------------------------------------------
 #
 # Unlike StreamVByte's split key/data regions, a VarintGB group's tag
 # byte sits at a position that depends on every previous group's size
-# (vbyte_encoder.cc group layout), so a flat vectorization is
-# impossible. The CGR decoder's architecture applies instead: one lane
-# per VERTEX, a lax.scan where each step decodes one whole GROUP
-# (tag byte + up to 4 values from a single 6-word row gather), lanes
-# bucketed by group count so scan length tracks actual work. Degree
-# skew bounds: a degree-d vertex is ceil(d/4) serial steps — hubs are
-# latency-bound (documented; StreamVByte is the flat-decodable scheme).
+# (vbyte_encoder.cc group layout), so the VALUE decode cannot be flat
+# until every group's tag position is known. The round-4 decoder ran
+# the whole decode as a one-group-per-step lane scan and measured
+# 2.6 M edges/s resident — 14x behind StreamVByte's 36.3 on a
+# near-identical byte format (decode_bench2.json), because each scan
+# step paid 5 dependent in-window reads for 4 values.
+#
+# Round-5 formulation: only the POSITION CHAIN is serial, and a group's
+# byte length is a pure function of its tag byte (glen = 5 + sum of the
+# four 2-bit codes), so phase 1 walks tags only: one 2x128-byte block
+# row gather per step covers >= 7 worst-case groups, each advanced by a
+# 256-entry LUT lookup — ~7 groups per gather instead of 1 group per
+# 5 reads. Phase 2 then decodes all values FLAT over groups (the
+# SVB-style word-pair gather + shift/mask), with the per-vertex delta
+# bases broadcast by scatter-delta + cumsum exactly like
+# streamvbyte_decode_device.
 
 
-def _hex_view(words: jnp.ndarray) -> jnp.ndarray:
-    """(W-5, 6) sliding windows: 24 bytes per row gather — enough for a
-    worst-case group (tag + 16 value bytes) at any in-word alignment."""
-    return jnp.stack([words[:-5], words[1:-4], words[2:-3],
-                      words[3:-2], words[4:-1], words[5:]], axis=1)
+# groups materially advanced per 256-byte double-block window: the
+# window guarantees >= 129 usable bytes from any in-block start and a
+# worst-case group is 17 bytes
+_VGB_SUBS = 7
+
+# outer-trip bucket grid; max decodable degree is
+# 4 * _VGB_SUBS * _VGB_TRIP_GRID[-1]
+_VGB_TRIP_GRID = (1, 4, 16, 64, 256, 1024, 4096)
+
+# glen LUT: a group's byte length from its tag alone — 1 tag byte +
+# sum of the four (code+1) value lengths
+_VGB_GLEN = np.array(
+    [5 + sum((t >> (2 * k)) & 3 for k in range(4)) for t in range(256)],
+    dtype=np.int32)
 
 
-def _le_read32(row: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
-    """Little-endian 32-bit read at BYTE offset ``rel`` (0..19) into a
-    gathered (L, 6) word row."""
-    j = (rel >> 2).astype(jnp.int32)
-    w0 = jnp.take_along_axis(row, j[:, None], axis=1)[:, 0].astype(jnp.uint32)
-    w1 = jnp.take_along_axis(row, (j + 1)[:, None], axis=1)[:, 0].astype(jnp.uint32)
-    sh = ((rel & 3) * 8).astype(jnp.uint32)
-    return jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh)))
-
-
-@functools.partial(jax.jit, static_argnames=("trip", "ne"),
-                   donate_argnames=("col",))
-def _varintgb_pass(hexv, pos, n_groups, deg, base, col, trip: int, ne: int):
-    """Decode up to ``trip`` groups (4 values each) per lane; scatter the
-    d1-undone absolute neighbor ids into the shared col buffer."""
+@functools.partial(jax.jit, static_argnames=("trip",),
+                   donate_argnames=("tagpos",))
+def _vgb_tag_chain(blocks, lut, pos, n_groups, gbase, tagpos, trip: int):
+    """Phase 1: walk each lane's group chain, recording every group's
+    absolute tag-byte position into the flat (G+1,) buffer. One
+    (L, 64)-word double-block row gather advances _VGB_SUBS groups —
+    each sub-step is one in-row byte pick + one 256-entry LUT lookup."""
+    g_cap = tagpos.shape[0] - 1
 
     def step(carry, _):
-        p, prev, gi = carry
-        row = hexv[p >> 2]                          # (L, 6)
-        sub = p & 3
-        tag = (_le_read32(row, sub) & 0xFF).astype(jnp.int32)
-        rel = sub + 1
-        vals = []
-        for lane in range(4):
-            code = (tag >> (2 * lane)) & 3
-            raw = _le_read32(row, rel)
-            keep = ((code + 1) * 8).astype(jnp.uint32)
-            mask = jnp.where(code == 3, jnp.uint32(0xFFFFFFFF),
-                             (jnp.uint32(1) << keep) - 1)
-            vals.append((raw & mask).astype(jnp.int32))
-            rel = rel + code + 1
-        # d1 undo: running prefix over the group's gaps. The encoder
-        # zero-pads the final partial group, so summing all 4 lanes is
-        # exact; out-of-degree slots are dropped at scatter time.
-        g = jnp.stack(vals, axis=1)                 # (L, 4)
-        abs_vals = prev[:, None] + jnp.cumsum(g, axis=1)
-        active = gi < n_groups
-        p = jnp.where(active, p + 1 + rel - (sub + 1), p)
-        prev = jnp.where(active, abs_vals[:, 3], prev)
-        return (p, prev, gi + 1), abs_vals
+        p, gi, tp = carry
+        blk = p >> 7                                   # 128-byte blocks
+        row = jnp.concatenate([blocks[blk], blocks[blk + 1]],
+                              axis=1)                  # (L, 64) words
+        rel = p & 127
+        for s in range(_VGB_SUBS):
+            active = gi + s < n_groups
+            slots = jnp.where(active, gbase + gi + s, g_cap)
+            tp = tp.at[slots].set(p, mode="drop")
+            j = (rel >> 2).astype(jnp.int32)
+            w = jnp.take_along_axis(row, j[:, None], axis=1)[:, 0]
+            tag = ((w.astype(jnp.uint32)
+                    >> ((rel & 3) * 8).astype(jnp.uint32))
+                   & 0xFF).astype(jnp.int32)
+            glen = lut[tag]
+            p = jnp.where(active, p + glen, p)
+            rel = jnp.where(active, rel + glen, rel)
+        return (p, gi + _VGB_SUBS, tp), None
 
-    zeros = jnp.zeros_like(pos)
-    _, av = jax.lax.scan(step, (pos, zeros, jnp.int32(0)), None,
-                         length=trip, unroll=min(4, trip))  # (trip, L, 4)
-    gi = jnp.arange(trip, dtype=jnp.int32)[:, None, None]
-    lane = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-    k = gi * 4 + lane                                # in-list index
-    slots = jnp.where(k < deg[None, :, None], base[None, :, None] + k, ne)
-    return col.at[slots].set(av, mode="drop")
+    (_, _, tagpos), _ = jax.lax.scan(
+        step, (pos, jnp.zeros_like(pos), tagpos), None, length=trip)
+    return tagpos
+
+
+@functools.partial(jax.jit, static_argnames=("nv", "ne", "n_g"))
+def _vgb_flat_values(words, tagpos, group_ptr, row_ptr, degrees, *,
+                     nv: int, ne: int, n_g: int):
+    """Phase 2: decode all groups FLAT given their tag positions —
+    the SVB formulation over groups instead of single values."""
+    e1 = max(n_g, 1)
+    gidx = jnp.arange(e1, dtype=jnp.int32)
+    # group -> owning vertex (bump + prefix sum, never a searchsorted)
+    bump = jnp.zeros(e1, jnp.int32).at[group_ptr[1:nv]].add(
+        1, mode="drop", indices_are_sorted=True)
+    v = jnp.cumsum(bump, dtype=jnp.int32)
+    # per-vertex fields in ONE packed row gather (row-rate-bound engine)
+    pervertex = jnp.stack(
+        [group_ptr[:nv], row_ptr[:nv], degrees.astype(jnp.int32)], axis=1)
+    pv = pervertex[v]                                  # (G, 3)
+    g_first, slot_base, degv = pv[:, 0], pv[:, 1], pv[:, 2]
+
+    pairs = jnp.stack([words[:-1], words[1:]], axis=1)  # (W+1, 2)
+
+    def read32(o):
+        pw = pairs[o >> 2]
+        w0 = pw[:, 0].astype(jnp.uint32)
+        w1 = pw[:, 1].astype(jnp.uint32)
+        sh = ((o & 3) * 8).astype(jnp.uint32)
+        return jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh)))
+
+    tp = tagpos[:e1]
+    tag = (read32(tp) & 0xFF).astype(jnp.int32)
+    gaps, o = [], tp + 1
+    for lane in range(4):
+        code = (tag >> (2 * lane)) & 3
+        raw = read32(o)
+        keep = ((code + 1) * 8).astype(jnp.uint32)
+        mask = jnp.where(code == 3, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << keep) - 1)
+        gaps.append((raw & mask).astype(jnp.int32))
+        o = o + code + 1
+    gmat = jnp.stack(gaps, axis=1)                     # (G, 4)
+    within = jnp.cumsum(gmat, axis=1)                  # in-group prefix
+    # cross-group prefix within each vertex: cumsum of group sums minus
+    # the segment base, broadcast via scatter-delta + cumsum
+    # (int32 wraparound-exact; the SVB kernel's trick)
+    gsum = within[:, 3]
+    cg = jnp.cumsum(gsum, dtype=jnp.int32)
+    excl = cg - gsum
+    start_slots = jnp.clip(group_ptr[:nv], 0, max(n_g - 1, 0))
+    seg_excl = excl[start_slots]
+    deltas = jnp.diff(seg_excl, prepend=seg_excl[:1])
+    deltas = deltas.at[0].set(seg_excl[0])
+    carry = jnp.zeros(e1, jnp.int32).at[group_ptr[:nv]].add(
+        deltas, mode="drop", indices_are_sorted=True)
+    base = excl - jnp.cumsum(carry, dtype=jnp.int32)
+    abs_vals = base[:, None] + within                  # (G, 4)
+    # scatter into CSR slots; lanes past the degree drop
+    k = ((gidx - g_first)[:, None] * 4
+         + jnp.arange(4, dtype=jnp.int32)[None, :])
+    slots = jnp.where(k < degv[:, None], slot_base[:, None] + k, ne)
+    col = jnp.zeros((max(ne, 1) + 1,), jnp.int32)
+    col = col.at[slots].set(abs_vals, mode="drop")
+    return col[:ne]
 
 
 def varintgb_device_prep(vg: VbyteGraph) -> dict:
@@ -248,22 +311,28 @@ def varintgb_device_prep(vg: VbyteGraph) -> dict:
     row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
     assert row_ptr[-1] == ne, (row_ptr[-1], ne)
 
-    pad = (-len(vg.data)) % 4 + 24
+    # pad to whole 128-byte blocks + two guard blocks (the tag chain's
+    # double-block window and the flat pass's word-pair reads)
+    pad = (-len(vg.data)) % 128 + 256
     if len(vg.data) + pad >= 2**31:
         # byte positions are int32 inside the jitted pass (cgr_device
         # asserts the same bound for bit positions); raise ValueError so
         # analytics falls back to the host decoder instead of wrapping
         raise ValueError("device varintgb decode: stream too large for "
                          "int32 byte positions")
-    words = jnp.asarray(
-        np.frombuffer(vg.data + b"\x00" * pad, dtype=np.uint32))
-    hexv = _hex_view(words)
+    raw = vg.data + b"\x00" * pad
+    words = jnp.asarray(np.frombuffer(raw, dtype=np.uint32))
+    blocks = words.reshape(-1, 32)                 # 128-byte rows
 
     n_groups = -(-deg // 4)
-    grid = (2, 8, 32, 128, 512, 2048, 8192)
-    if n_groups.max(initial=0) > grid[-1]:
+    group_ptr = np.concatenate([[0], np.cumsum(n_groups)])
+    n_g = int(group_ptr[-1])
+    # outer trips advance _VGB_SUBS groups each
+    trips_needed = -(-n_groups // _VGB_SUBS)
+    grid = _VGB_TRIP_GRID
+    if trips_needed.max(initial=0) > grid[-1]:
         raise ValueError("device varintgb decode: degree exceeds the "
-                         f"trip grid ({4 * grid[-1]})")
+                         f"trip grid ({4 * _VGB_SUBS * grid[-1]})")
     lanes = np.nonzero(deg > 0)[0]
     buckets = []
     if len(lanes):
@@ -274,10 +343,9 @@ def varintgb_device_prep(vg: VbyteGraph) -> dict:
                              "the padded stream")
         pos = pos.astype(np.int32)
         ngl = n_groups[lanes].astype(np.int32)
-        degl = deg[lanes].astype(np.int32)
-        base = row_ptr[lanes].astype(np.int32)
-        order = np.argsort(ngl, kind="stable")
-        sg = ngl[order]
+        gbase = group_ptr[lanes].astype(np.int32)
+        order = np.argsort(trips_needed[lanes], kind="stable")
+        sg = trips_needed[lanes][order]
         lo = 0
         for trip in grid:
             hi = np.searchsorted(sg, trip, side="right")
@@ -291,25 +359,31 @@ def varintgb_device_prep(vg: VbyteGraph) -> dict:
                 "trip": trip,
                 "pos": jnp.asarray(np.concatenate([pos[sel], pd])),
                 "ngl": jnp.asarray(np.concatenate([ngl[sel], pd])),
-                "degl": jnp.asarray(np.concatenate([degl[sel], pd])),
-                "base": jnp.asarray(np.concatenate([base[sel], pd])),
+                "gbase": jnp.asarray(np.concatenate([gbase[sel], pd])),
             })
         if lo != len(lanes):
             raise ValueError("device varintgb decode: lanes exceed the "
                              "trip grid")
-    return {"hexv": hexv, "buckets": buckets, "row_ptr": row_ptr, "ne": ne}
+    return {"blocks": blocks, "words": words, "buckets": buckets,
+            "row_ptr": row_ptr, "ne": ne, "nv": nv, "n_g": n_g,
+            "lut": jnp.asarray(_VGB_GLEN),
+            "group_ptr_d": jnp.asarray(group_ptr.astype(np.int32)),
+            "row_ptr_d": jnp.asarray(row_ptr.astype(np.int32)),
+            "deg_d": jnp.asarray(deg.astype(np.int32))}
 
 
 def varintgb_device_run(prep: dict) -> jnp.ndarray:
-    """Decode-proper given a prep dict: the bucketed group passes, pure
-    device work. Returns the (ne,) col_idx DEVICE array."""
-    ne = prep["ne"]
-    col = jnp.zeros((max(ne, 1),), jnp.int32)
+    """Decode-proper given a prep dict: the tag-position chain passes
+    then one flat value pass, pure device work. Returns the (ne,)
+    col_idx DEVICE array."""
+    ne, nv, n_g = prep["ne"], prep["nv"], prep["n_g"]
+    tagpos = jnp.zeros((max(n_g, 1) + 1,), jnp.int32)
     for bk in prep["buckets"]:
-        col = _varintgb_pass(prep["hexv"], bk["pos"], bk["ngl"],
-                             bk["degl"], bk["base"], col, bk["trip"],
-                             max(ne, 1))
-    return col[:ne]
+        tagpos = _vgb_tag_chain(prep["blocks"], prep["lut"], bk["pos"],
+                                bk["ngl"], bk["gbase"], tagpos, bk["trip"])
+    return _vgb_flat_values(prep["words"], tagpos, prep["group_ptr_d"],
+                            prep["row_ptr_d"], prep["deg_d"],
+                            nv=nv, ne=ne, n_g=n_g)
 
 
 def varintgb_decode_device(vg: VbyteGraph) -> CSRGraph:

@@ -722,6 +722,11 @@ def build_seg_ell(g: CSRGraph, seg_rows: int = SEG_ROWS,
     widths = _widths_for_split(split)
     src, dst = g.coo()
     ne = g.ne
+    # GAB_SEG_ROWS: column-slice rows override (pow-of-2 sweeps; grouped
+    # stacking made finer segments cheap — pad no longer scales with S)
+    env_rows = os.environ.get("GAB_SEG_ROWS", "").strip()
+    if env_rows and seg_rows == SEG_ROWS:
+        seg_rows = int(env_rows)
     bounds = seg_bounds(g.nv, dst, seg_rows)
     nseg = len(bounds)
 

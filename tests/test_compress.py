@@ -227,18 +227,23 @@ def test_varintgb_device_decode_4byte_lanes():
 
 
 def test_varintgb_trip_grid_host_fallback(tmp_path):
-    """A hub past the 4*8192 trip-grid limit raises ValueError from the
+    """A hub past the trip-grid degree limit raises ValueError from the
     device decoder and the analytics dispatcher falls back to host."""
     import pytest
 
     from graphaibench_tpu.analytics import run_benchmark
     from graphaibench_tpu.compress.cli import save_compressed
-    from graphaibench_tpu.compress.device_decode import varintgb_decode_device
+    from graphaibench_tpu.compress.device_decode import (
+        _VGB_SUBS,
+        _VGB_TRIP_GRID,
+        varintgb_decode_device,
+    )
     from graphaibench_tpu.compress.vbyte import encode_graph
     from graphaibench_tpu.graph.csr import from_edges
 
-    n = 4 * 8192 + 8
-    hub_deg = 4 * 8192 + 4
+    limit = 4 * _VGB_SUBS * _VGB_TRIP_GRID[-1]
+    n = limit + 8
+    hub_deg = limit + 4
     src = np.full(hub_deg, 0)
     dst = np.arange(1, hub_deg + 1)
     src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])

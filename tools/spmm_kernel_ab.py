@@ -81,6 +81,12 @@ def main():
         # default grouped stacking is GAB_SEG_GROUPS=4
         os.environ["GAB_SEG_GROUPS"] = (
             "1" if layout == "seg_u" else "8" if layout == "seg_g8" else "4")
+        # seg_r16 / seg_r15: finer column slices (32/16 MB windows at
+        # F=128 f32) — affordable once grouped stacking decouples pad
+        # from the segment count
+        os.environ.pop("GAB_SEG_ROWS", None)
+        if layout.startswith("seg_r"):
+            os.environ["GAB_SEG_ROWS"] = str(1 << int(layout[5:]))
         g_l = g
         if layout == "seg_loc":
             # locality ordering before segmenting (VERDICT r4 item 2):
@@ -123,7 +129,7 @@ def main():
         del gb, x
         gc.collect()
     for k in ("GAB_SEG_ELL", "GAB_SEG_SCAN", "GAB_SPMM_KERNEL",
-              "GAB_SPMM_BF16", "GAB_SEG_GROUPS"):
+              "GAB_SPMM_BF16", "GAB_SEG_GROUPS", "GAB_SEG_ROWS"):
         os.environ.pop(k, None)
     print(json.dumps(out), flush=True)
     return 0
