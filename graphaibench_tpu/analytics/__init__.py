@@ -133,6 +133,26 @@ def run_benchmark(kernel: str, dataset_path: str, args: list[str]) -> int:
         from graphaibench_tpu.compress.device_decode import decode_graph_device
 
         cg = load_compressed(dataset_path)
+        if (kernel == "tc" and hasattr(cg, "cfg")
+                and os.environ.get("GAB_TC_STREAM", "") == "1"):
+            # stream triangles straight off the compressed adjacency —
+            # the N_cgr-accessor capability (graph.h:213-238,
+            # tc_omp_compressed.cc): blocks decode on device per pair,
+            # the full CSR never materializes (memory over speed)
+            from graphaibench_tpu.analytics.tc_stream import (
+                triangle_count_streaming,
+            )
+
+            t0 = time.perf_counter()
+            try:
+                n, stats = triangle_count_streaming(cg)
+                dt = time.perf_counter() - t0
+                print(f"total_num_triangles = {n} (streaming, "
+                      f"{stats['blocks']} blocks)")
+                print(f"runtime = {dt:.4f} sec")
+                return 0
+            except ValueError as e:   # interval/unary streams
+                print(f"streaming unsupported ({e}); decode-then-count")
         if getattr(cg, "scheme", None) in ("streamvbyte", "varintgb"):
             try:
                 g = decode_graph_device(cg)

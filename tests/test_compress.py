@@ -586,3 +586,64 @@ def test_tc_golden_via_hybrid_device_decode():
     g = T.sort_and_clean(load_graph("/root/reference/inputs/citeseer"))
     hg = hybrid.encode_graph(g)
     assert triangle_count(decode_hybrid_device(hg)) == 1166
+
+
+def test_tc_streaming_cgr(tmp_path):
+    """Streaming TC off the compressed adjacency: citeseer golden 1166
+    with multi-block pairs, never materializing the full CSR; CLI route
+    via GAB_TC_STREAM=1."""
+    import os
+
+    from graphaibench_tpu.analytics import run_benchmark
+    from graphaibench_tpu.analytics.tc import triangle_count
+    from graphaibench_tpu.analytics.tc_stream import triangle_count_streaming
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cli import save_compressed
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import load_graph
+
+    g = load_graph("/root/reference/inputs/citeseer")
+    cg = cgr.encode_graph(g, cgr.CgrConfig())
+    n, stats = triangle_count_streaming(cg, block_bytes=1 << 15)
+    assert n == 1166 and stats["blocks"] >= 2
+    # full CSR slots never allocated: peak block slots well under ne*2
+    assert stats["peak_block_slots"] < 16 * stats["ne"]
+
+    g2 = rmat(12, 8, seed=2)
+    cg2 = cgr.encode_graph(g2, cgr.CgrConfig())
+    n2, _ = triangle_count_streaming(cg2, block_bytes=1 << 17)
+    assert n2 == triangle_count(g2)
+
+    prefix = str(tmp_path / "cs_cgr")
+    save_compressed(cg, prefix)
+    os.environ["GAB_TC_STREAM"] = "1"
+    try:
+        assert run_benchmark("tc", prefix, []) == 0
+    finally:
+        os.environ.pop("GAB_TC_STREAM", None)
+
+
+def test_tc_streaming_interval_fallback(tmp_path):
+    """Interval CGR streams refuse streaming (ValueError) and the CLI
+    falls back to decode-then-count."""
+    import os
+
+    import pytest
+
+    from graphaibench_tpu.analytics import run_benchmark
+    from graphaibench_tpu.analytics.tc_stream import triangle_count_streaming
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.compress.cli import save_compressed
+    from graphaibench_tpu.graph.io import load_graph
+
+    g = load_graph("/root/reference/inputs/citeseer")
+    cg = cgr.encode_graph(g, cgr.CgrConfig(use_interval=True))
+    with pytest.raises(ValueError, match="interval"):
+        triangle_count_streaming(cg)
+    prefix = str(tmp_path / "cs_cgr_itv")
+    save_compressed(cg, prefix)
+    os.environ["GAB_TC_STREAM"] = "1"
+    try:
+        assert run_benchmark("tc", prefix, []) == 0
+    finally:
+        os.environ.pop("GAB_TC_STREAM", None)
