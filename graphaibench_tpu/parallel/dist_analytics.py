@@ -283,11 +283,13 @@ def _dist_pull_fixpoint(mesh, g: CSRGraph, init_fn, relax, *,
             if wp_l is None:
                 m = ell_gather_reduce(se_l.fwd, x_ext, nv_pad, "min",
                                       se_l.sentinel,
-                                      bounds=se_l.fwd_bounds)
+                                      bounds=se_l.fwd_bounds,
+                                      groups=se_l.fwd_groups)
             else:
                 m = ell_gather_reduce_plus(se_l.fwd, wp_l.fwd, x_ext,
                                            nv_pad, "min", se_l.sentinel,
-                                           bounds=se_l.fwd_bounds)
+                                           bounds=se_l.fwd_bounds,
+                                      groups=se_l.fwd_groups)
             new = relax(x, m)
             changed = jax.lax.psum(
                 jnp.any(new != x).astype(jnp.int32), axis) > 0
@@ -392,7 +394,8 @@ def _build_dist_pull(mesh, g: CSRGraph, axis: str):
             ext = jnp.concatenate([col, halo[:, 0]])
             return ell_gather_reduce(se_l.fwd, ext, sg.nv_pad, "sum",
                                      se_l.sentinel,
-                                     bounds=se_l.fwd_bounds)
+                                     bounds=se_l.fwd_bounds,
+                                      groups=se_l.fwd_groups)
         return sum_pull
 
     return sg, se, make_sum_pull

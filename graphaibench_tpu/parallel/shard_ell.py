@@ -84,23 +84,43 @@ class ShardEll:
     sentinel: int = 0
     fwd_bounds: tuple = None    # static ((lo, hi), ...) or None
     trans_bounds: tuple = None
+    # GROUPED stacking (round 5, mirroring SegmentedEll.group_segs):
+    # fwd[i]/trans[i] is one width's row-sorted GROUP of segments with
+    # arrays (P, Sg, ...) stacked over these static segment-id tuples;
+    # None = legacy uniform stacking (P, S, ...) aligned with bounds.
+    # Row counts pad to the group max over BOTH the shard and segment
+    # axes (shard_map needs shard-uniform shapes) — 1.52x -> ~1.2x ne
+    # slots at products shape.
+    fwd_groups: tuple = None
+    trans_groups: tuple = None
 
     def tree_flatten(self):
         return (self.fwd, self.trans), (self.sentinel, self.fwd_bounds,
-                                        self.trans_bounds)
+                                        self.trans_bounds, self.fwd_groups,
+                                        self.trans_groups)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(fwd=children[0], trans=children[1], sentinel=aux[0],
-                   fwd_bounds=aux[1], trans_bounds=aux[2])
+                   fwd_bounds=aux[1], trans_bounds=aux[2],
+                   fwd_groups=aux[3], trans_groups=aux[4])
 
 
-def _iter_shard(buckets: tuple, bounds):
+def _iter_shard(buckets: tuple, bounds, groups=None):
     """Unrolled iteration over a (possibly segmented) stripped layout:
-    yields (bucket_view, (lo, hi) or None)."""
+    yields (bucket_view, (lo, hi) or None). With grouped stacking
+    (``groups``: static segment-id tuples aligned with buckets), each
+    bucket is one width's group and iteration is group-major."""
     if bounds is None:
         for b in buckets:
             yield b, None
+        return
+    if groups is not None:
+        for segs_ids, b in zip(groups, buckets):
+            for j, s in enumerate(segs_ids):
+                eid = None if b.edge_id is None else b.edge_id[j]
+                yield (EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
+                                 edge_id=eid, width=b.width), bounds[s])
         return
     for s, (lo, hi) in enumerate(bounds):
         for b in buckets:
@@ -109,29 +129,89 @@ def _iter_shard(buckets: tuple, bounds):
                              edge_id=eid, width=b.width), (lo, hi))
 
 
+def _iter_shard_packed(buckets, bounds, groups, packed):
+    """(bucket_view, slice, packed_slice) triples for unrolled sweeps —
+    packed tuples align with buckets (per group when grouped)."""
+    if bounds is None:
+        for k, b in enumerate(buckets):
+            yield b, None, (None if packed is None else packed[k])
+        return
+    if groups is not None:
+        for gi, (segs_ids, b) in enumerate(zip(groups, buckets)):
+            for j, s in enumerate(segs_ids):
+                eid = None if b.edge_id is None else b.edge_id[j]
+                bv = EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
+                               edge_id=eid, width=b.width)
+                yield bv, bounds[s], (
+                    None if packed is None else packed[gi][j])
+        return
+    for s, (lo, hi) in enumerate(bounds):
+        for i, b in enumerate(buckets):
+            eid = None if b.edge_id is None else b.edge_id[s]
+            bv = EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
+                           edge_id=eid, width=b.width)
+            yield bv, (lo, hi), (None if packed is None else packed[i][s])
+
+
 def shard_sweep(buckets: tuple, bounds, carry, tables: tuple, bucket_fn,
-                packed=None):
+                packed=None, groups=None):
     """Run ``bucket_fn(carry, bucket, packed_slice, *table_slices)``
-    over a stripped shard layout — lax.scan over the stacked segment
-    axis when segmented (ops.device_graph.sweep_stacked; GAB_SEG_SCAN=0
-    forces unrolled), plain loop otherwise. ``tables`` are gather
-    tables sliced per segment; per-row tables must be closed over."""
+    over a stripped shard layout — lax.scan per stacked group when
+    grouped (mirroring ops.device_graph.sweep_grouped), lax.scan over
+    the uniform segment axis otherwise (sweep_stacked; GAB_SEG_SCAN=0
+    forces unrolled), plain loop when unsegmented. ``tables`` are
+    gather tables sliced per segment; per-row tables must be closed
+    over."""
     import os
 
     from graphaibench_tpu.ops.device_graph import sweep_stacked
 
-    if bounds is not None and len(bounds) >= 2 and os.environ.get(
-            "GAB_SEG_SCAN", "").strip().lower() not in (
-                "0", "false", "off", "no"):
+    scan_on = os.environ.get("GAB_SEG_SCAN", "").strip().lower() not in (
+        "0", "false", "off", "no")
+    if bounds is not None and groups is not None:
+        rows_needed = max((hi for _, hi in bounds), default=1)
+        for segs_ids in groups:
+            if len(segs_ids) > 1 and scan_on:
+                win_g = max(bounds[s][1] - bounds[s][0] for s in segs_ids)
+                reach = max(bounds[s][0] for s in segs_ids) + win_g
+                rows_needed = max(rows_needed, reach)
+
+        def pad_tab(t):
+            pad = rows_needed - t.shape[0]
+            if pad <= 0:
+                return t
+            return jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1))
+
+        tabs = tuple(pad_tab(t) for t in tables)
+        for gi, (segs_ids, b) in enumerate(zip(groups, buckets)):
+            pk = None if packed is None else packed[gi]
+            if len(segs_ids) == 1 or not scan_on:
+                for j, s in enumerate(segs_ids):
+                    lo, hi = bounds[s]
+                    eid = None if b.edge_id is None else b.edge_id[j]
+                    bv = EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
+                                   edge_id=eid, width=b.width)
+                    ts = tuple(t[lo:hi] for t in tables)
+                    carry = bucket_fn(carry, bv,
+                                      None if pk is None else pk[j], *ts)
+                continue
+            win = max(bounds[s][1] - bounds[s][0] for s in segs_ids)
+            los = jnp.asarray(np.asarray(
+                [bounds[s][0] for s in segs_ids], np.int32))
+
+            def body(c, ins, win=win):
+                lo_s, bk, pkk = ins
+                ts = tuple(jax.lax.dynamic_slice_in_dim(t, lo_s, win,
+                                                        axis=0)
+                           for t in tabs)
+                return bucket_fn(c, bk, pkk, *ts), None
+
+            carry, _ = jax.lax.scan(body, carry, (los, b, pk))
+        return carry
+    if bounds is not None and len(bounds) >= 2 and scan_on:
         return sweep_stacked(bounds, buckets, carry, tables, bucket_fn,
                              packed)
-    for k, (b, sl) in enumerate(_iter_shard(buckets, bounds)):
-        if bounds is None:
-            pk = None if packed is None else packed[k]
-        else:
-            i = k % max(len(buckets), 1)
-            s = k // max(len(buckets), 1)
-            pk = None if packed is None else packed[i][s]
+    for b, sl, pk in _iter_shard_packed(buckets, bounds, None, packed):
         ts = tuple(t if sl is None else t[sl[0]:sl[1]] for t in tables)
         carry = bucket_fn(carry, b, pk, *ts)
     return carry
@@ -186,36 +266,70 @@ def _stack_bucket_lists(bucket_lists, num_shards: int, sentinel: int):
 def _stack_layout(per_shard_lists, num_shards, sentinel, bounds):
     """Stack per-shard bucket lists. ``bounds`` non-None means the
     lists are per-segment (one entry per bounds range, aligned across
-    shards because the ranges come from the GLOBAL column histogram):
-    the result is one EllBucket per width with arrays stacked over
-    (P, S) — row_ids (P, S, R_w), nbr/edge_id (P, S, R_w*w), padded to
-    the max rows over BOTH axes (padding rows: row 0, nbr 0, edge_id =
-    sentinel -> zero contribution). Uniform shapes let the kernels
-    lax.scan the segment axis (shard_sweep)."""
+    shards because the ranges come from the GLOBAL column histogram).
+
+    GROUPED stacking (mirroring device_graph._group_segments): within a
+    width, segments sort by their max-over-shards row count and cut into
+    <= GAB_SEG_GROUPS groups; each group stacks (P, Sg, R_g) /
+    (P, Sg, R_g*w) padded only to ITS max over both axes (shard_map
+    needs shard-uniform shapes, so the shard axis still pads to the
+    worst shard). Empty (width, segment) pairs vanish. Returns
+    (buckets, group_segs) — group_segs None when unsegmented."""
+    import os
+
     if bounds is None:
-        return _stack_bucket_lists(per_shard_lists, num_shards, sentinel)
+        return (_stack_bucket_lists(per_shard_lists, num_shards, sentinel),
+                None)
     widths = sorted({b.width for bl in per_shard_lists
                      for seg in bl for b in seg})
     nseg = len(bounds)
-    out = []
+    max_groups = max(int(os.environ.get("GAB_SEG_GROUPS", "4") or 4), 1)
+    group_segs, buckets = [], []
     for w in widths:
-        rmax = max((b.rows for bl in per_shard_lists for seg in bl
-                    for b in seg if b.width == w), default=0)
-        rmax = max(rmax, 1)
-        row = np.zeros((num_shards, nseg, rmax), np.int32)
-        nbr = np.zeros((num_shards, nseg, rmax * w), np.int32)
-        eid = np.full((num_shards, nseg, rmax * w), sentinel, np.int32)
+        rows_s = np.zeros(nseg, np.int64)
+        per: dict = {}
         for p, bl in enumerate(per_shard_lists):
-            for k, seg in enumerate(bl):
+            for s, seg in enumerate(bl):
                 b = next((b for b in seg if b.width == w), None)
-                if b is None:
-                    continue
-                r = b.rows
-                row[p, k, :r] = b.row_ids
-                nbr[p, k, :r * w] = b.nbr
-                eid[p, k, :r * w] = b.edge_id
-        out.append(EllBucket(row_ids=row, nbr=nbr, edge_id=eid, width=w))
-    return tuple(out)
+                if b is not None and b.rows > 0:
+                    per[(p, s)] = b
+                    rows_s[s] = max(rows_s[s], b.rows)
+        entries = [(s, int(rows_s[s])) for s in range(nseg) if rows_s[s]]
+        if not entries:
+            continue
+        entries.sort(key=lambda e: (-e[1], e[0]))
+        ratio = 1.3
+        while True:
+            groups, cur = [], [entries[0]]
+            for e in entries[1:]:
+                if cur[0][1] > ratio * e[1]:
+                    groups.append(cur)
+                    cur = [e]
+                else:
+                    cur.append(e)
+            groups.append(cur)
+            if len(groups) <= max_groups:
+                break
+            ratio *= 1.5
+        for grp in groups:
+            rmax = max(r for _, r in grp)
+            sg_n = len(grp)
+            row = np.zeros((num_shards, sg_n, rmax), np.int32)
+            nbr = np.zeros((num_shards, sg_n, rmax * w), np.int32)
+            eid = np.full((num_shards, sg_n, rmax * w), sentinel, np.int32)
+            for j, (s, _r) in enumerate(grp):
+                for p in range(num_shards):
+                    b = per.get((p, s))
+                    if b is None:
+                        continue
+                    r = b.rows
+                    row[p, j, :r] = b.row_ids
+                    nbr[p, j, :r * w] = b.nbr
+                    eid[p, j, :r * w] = b.edge_id
+            group_segs.append(tuple(s for s, _ in grp))
+            buckets.append(EllBucket(row_ids=row, nbr=nbr, edge_id=eid,
+                                     width=w))
+    return tuple(buckets), tuple(group_segs)
 
 
 def build_shard_ell(sg, split: Optional[int] = None,
@@ -284,9 +398,24 @@ def build_shard_ell(sg, split: Optional[int] = None,
         if bounds is None:
             return ell_from_coo(rows, cols, eids, e_max, split,
                                 as_numpy=True)
+        # ONE stable counting sort by segment key instead of a boolean
+        # mask pass per segment (O(nseg * ne) -> O(ne); the products
+        # trainer build spent most of its 620 s here, round-5 profile)
+        from graphaibench_tpu import native
+        from graphaibench_tpu.ops.device_graph import _run_lengths
+
+        nseg = len(bounds)
+        los = np.asarray([lo for lo, _ in bounds], np.int64)
+        keys = (np.searchsorted(los, np.asarray(cols, np.int64),
+                                side="right") - 1).astype(np.int32)
+        perm = native.stable_key_sort(keys, nseg)
+        if perm is None:
+            perm = np.argsort(keys, kind="stable")
+        counts = np.bincount(keys, minlength=nseg)
+        starts = np.concatenate([[0], np.cumsum(counts)])
         per_seg = []
-        for lo, hi in bounds:
-            sel = (cols >= lo) & (cols < hi)
+        for s, (lo, _hi) in enumerate(bounds):
+            sel = perm[starts[s]:starts[s + 1]]
             per_seg.append(ell_from_coo(rows[sel], cols[sel] - lo,
                                         eids[sel], e_max, split,
                                         as_numpy=True))
@@ -297,15 +426,17 @@ def build_shard_ell(sg, split: Optional[int] = None,
         fwd_lists.append(layouts(rows, cols, eids, fwd_bounds))
         if with_trans:
             trans_lists.append(layouts(cols, rows, eids, trans_bounds))
-    fwd = _stack_layout(fwd_lists, P, e_max, fwd_bounds)
+    fwd, fwd_groups = _stack_layout(fwd_lists, P, e_max, fwd_bounds)
     # the transpose layout (the x-adjoint's scatter replacement) is only
     # needed for training; forward-only consumers (distributed
     # analytics, the weak-scaling bench) skip the edge-scale build+ship
-    trans = ()
+    trans, trans_groups = (), None
     if with_trans:
-        trans = _stack_layout(trans_lists, P, e_max, trans_bounds)
+        trans, trans_groups = _stack_layout(trans_lists, P, e_max,
+                                            trans_bounds)
     return ShardEll(fwd=fwd, trans=trans, sentinel=e_max,
-                    fwd_bounds=fwd_bounds, trans_bounds=trans_bounds)
+                    fwd_bounds=fwd_bounds, trans_bounds=trans_bounds,
+                    fwd_groups=fwd_groups, trans_groups=trans_groups)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -404,7 +535,7 @@ def ell_row_reduce(buckets, vals: jnp.ndarray, n_rows: int,
 
 def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
                       kind: str, sentinel: int,
-                      bounds=None) -> jnp.ndarray:
+                      bounds=None, groups=None) -> jnp.ndarray:
     """out[r] = reduce over this shard's edges (r -> c) of x_ext[c] —
     the rectangular pull-mode reduction (ops.segment.neighbor_reduce's
     sharded twin), used by the distributed frontier solvers. ``x_ext``
@@ -433,12 +564,13 @@ def ell_gather_reduce(buckets, x_ext: jnp.ndarray, n_out: int,
                 out = out.at[rows].add(vb)
         return out
 
-    return shard_sweep(buckets, bounds, out, (x_ext,), bucket_fn)
+    return shard_sweep(buckets, bounds, out, (x_ext,), bucket_fn,
+                       groups=groups)
 
 
 def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
                            n_out: int, kind: str, sentinel: int,
-                           bounds=None) -> jnp.ndarray:
+                           bounds=None, groups=None) -> jnp.ndarray:
     """out[r] = reduce over this shard's edges (r -> c) of
     (x_ext[c] + w_slot) — the tropical (min-plus / max-plus) pull
     reduction behind distributed SSSP relaxation. ``packed[i]`` aligns
@@ -469,11 +601,12 @@ def ell_gather_reduce_plus(buckets, packed: tuple, x_ext: jnp.ndarray,
                 out = out.at[rows].max(vb)
         return out
 
-    return shard_sweep(buckets, bounds, out, (x_ext,), bucket_fn, packed)
+    return shard_sweep(buckets, bounds, out, (x_ext,), bucket_fn, packed,
+                       groups=groups)
 
 
 def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
-               n_out: int, bounds=None) -> jnp.ndarray:
+               n_out: int, bounds=None, groups=None) -> jnp.ndarray:
     """out[r] += sum_w w_pad[eid] * x[nbr] over every bucket. ``w_pad``
     already carries the sentinel zero slot. Sliced buckets gather from
     their static x slice (column-segmented fast-gather window). At
@@ -496,11 +629,12 @@ def _ell_apply(buckets, w_pad: jnp.ndarray, x: jnp.ndarray,
             out = out.at[rows].add(contrib.astype(base))
         return out
 
-    return shard_sweep(buckets, bounds, out, (x,), bucket_fn)
+    return shard_sweep(buckets, bounds, out, (x,), bucket_fn,
+                       groups=groups)
 
 
 def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
-                      n_out: int, bounds=None) -> jnp.ndarray:
+                      n_out: int, bounds=None, groups=None) -> jnp.ndarray:
     """out[r] += sum_w packed[i] * x[nbr]: the pre-gathered-weight twin
     of _ell_apply — no per-slot edge-id gather at all. Gathered operand
     rounds to bf16 at scale (same policy as _ell_apply)."""
@@ -521,7 +655,8 @@ def _ell_apply_packed(buckets, packed: tuple, x: jnp.ndarray,
             out = out.at[rows].add(contrib.astype(base))
         return out
 
-    return shard_sweep(buckets, bounds, out, (x,), bucket_fn, packed)
+    return shard_sweep(buckets, bounds, out, (x,), bucket_fn, packed,
+                       groups=groups)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -531,18 +666,20 @@ def slot_spmm_packed(n_out: int, se: ShardEll, wp: ShardPackedW,
     (GCN/SAGE aggregation norms — constant over training). Only ``x``
     carries a gradient; the weight cotangent is zero by construction
     (use slot_spmm for runtime-differentiable per-edge values)."""
-    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out, se.fwd_bounds)
+    return _ell_apply_packed(se.fwd, wp.fwd, x, n_out, se.fwd_bounds,
+                             se.fwd_groups)
 
 
 def _slot_spmm_packed_fwd(n_out, se, wp, x):
-    return (_ell_apply_packed(se.fwd, wp.fwd, x, n_out, se.fwd_bounds),
+    return (_ell_apply_packed(se.fwd, wp.fwd, x, n_out, se.fwd_bounds,
+                              se.fwd_groups),
             (se, wp, x))
 
 
 def _slot_spmm_packed_bwd(n_out, res, ct):
     se, wp, x = res
     dx = _ell_apply_packed(se.trans, wp.t, ct, x.shape[0],
-                           se.trans_bounds)
+                           se.trans_bounds, se.trans_groups)
     return (_zero_cotangent(se), _zero_cotangent(wp), dx)
 
 
@@ -574,7 +711,8 @@ def slot_spmm(n_out: int, se: ShardEll, w: jnp.ndarray, x: jnp.ndarray,
     Differentiable in ``w`` and ``x``; the x-adjoint streams through the
     transpose buckets instead of autodiff's (e_max,)-scatter."""
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
-    return _ell_apply(se.fwd, w_pad, x, n_out, se.fwd_bounds)
+    return _ell_apply(se.fwd, w_pad, x, n_out, se.fwd_bounds,
+                      se.fwd_groups)
 
 
 def _slot_spmm_fwd(n_out, se, w, x, edge_src, col_idx, valid):
@@ -585,7 +723,8 @@ def _slot_spmm_fwd(n_out, se, w, x, edge_src, col_idx, valid):
 def _slot_spmm_bwd(n_out, res, ct):
     se, w, x, edge_src, col_idx, valid = res
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
-    dx = _ell_apply(se.trans, w_pad, ct, x.shape[0], se.trans_bounds)
+    dx = _ell_apply(se.trans, w_pad, ct, x.shape[0], se.trans_bounds,
+                    se.trans_groups)
     dw = jnp.where(valid, _slot_sddmm_dot(ct, x, edge_src, col_idx), 0.0)
     return (_zero_cotangent(se), dw, dx, _zero_cotangent(edge_src),
             _zero_cotangent(col_idx), _zero_cotangent(valid))
@@ -654,7 +793,7 @@ def _gat_fwd_pass(se, logits, x, m, z, n_out):
 
     l_pad = jnp.concatenate([logits, jnp.full((1,), -jnp.inf, logits.dtype)])
     out = jnp.zeros((n_out, x.shape[1]), x.dtype)
-    for b, sl in _iter_shard(se.fwd, se.fwd_bounds):
+    for b, sl in _iter_shard(se.fwd, se.fwd_bounds, se.fwd_groups):
         xs = x if sl is None else x[sl[0]:sl[1]]
         for lo, hi in bucket_row_chunks(b, x.shape[1]):
             rows, nbr, eid = b.slot_slice(lo, hi)
@@ -680,7 +819,8 @@ def _gat_fused_bwd(n_out, res, ct):
     s_soft = jnp.where(valid, s_soft, 0.0)            # kill garbage slots
     s_pad = jnp.concatenate([s_soft, jnp.zeros((1,), s_soft.dtype)])
     # dx: adjoint aggregation through the transpose buckets
-    dx = _ell_apply(se.trans, s_pad, ct, x.shape[0], se.trans_bounds)
+    dx = _ell_apply(se.trans, s_pad, ct, x.shape[0], se.trans_bounds,
+                    se.trans_groups)
     # softmax adjoint: dl = s * (raw - rowsum(s * raw))
     raw = _slot_sddmm_dot(ct, x, edge_src, col_idx)
     inner = ell_row_reduce(se.fwd, s_soft * raw, n_out, "sum")
@@ -754,7 +894,8 @@ def _sr_rowmax_local(se: ShardEll, sr_ext, n_out, sent):
 
     sr2 = jnp.stack([sr_ext, sr_ext], axis=1)
     out = jnp.full((n_out,), -jnp.inf, sr_ext.dtype)
-    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds):
+    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds,
+                              se.fwd_groups):
         tb = sr2 if sl_ is None else sr2[sl_[0]:sl_[1]]
         # chunked: the (slots, 2) gather output pads its minor dim to
         # 128 lanes (64x); one hub bucket's unchunked temp OOM'd the
@@ -776,7 +917,8 @@ def _gat_v2_fwd_local(se, sl, sr_ext, h_ext, m, n_out, sent):
                          axis=1).astype(gdt)                 # (nv_ext, 1+F)
     chunks = _col_chunks_local(f + 1, jnp.dtype(gdt).itemsize)
     acc = jnp.zeros((n_out, f + 1), h_ext.dtype)
-    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds):
+    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds,
+                              se.fwd_groups):
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 1, cap):
             rows, nbr, eid = b.slot_slice(clo, chi)
@@ -827,7 +969,8 @@ def _gat_v2_bwd_local(n_out, res, ct):
     xa = jnp.concatenate([sr_ext[:, None], h_ext], axis=1).astype(gdt)
     chunks1 = _col_chunks_local(f + 1, jnp.dtype(gdt).itemsize)
     dsl = jnp.zeros((n_out,), sl.dtype)
-    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds):
+    for b, sl_ in _iter_shard(se.fwd, se.fwd_bounds,
+                              se.fwd_groups):
         xs = xa if sl_ is None else xa[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 1, cap):
             rows, nbr, eid = b.slot_slice(clo, chi)
@@ -858,7 +1001,8 @@ def _gat_v2_bwd_local(n_out, res, ct):
     nv_ext = h_ext.shape[0]
     dh = jnp.zeros((nv_ext, f), h_ext.dtype)
     dsr = jnp.zeros((nv_ext,), sr_ext.dtype)
-    for b, sl_ in _iter_shard(se.trans, se.trans_bounds):
+    for b, sl_ in _iter_shard(se.trans, se.trans_bounds,
+                              se.trans_groups):
         ts = tb if sl_ is None else tb[sl_[0]:sl_[1]]
         for clo, chi in bucket_row_chunks(b, f + 4, cap):
             rows, nbr, eid = b.slot_slice(clo, chi)
