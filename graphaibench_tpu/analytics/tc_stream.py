@@ -278,6 +278,65 @@ def triangle_count_streaming(cg: CompressedGraph, *,
     return total, stats
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _bfs_block_sweep(col, rp_starts, dist, new_dist, vlo: int,
+                     n_rows: int, level):
+    """One BFS level restricted to a decoded block: rows [vlo, vlo+n)
+    pull over their decoded neighbors — unreached rows with any
+    neighbor at ``level`` get level+1."""
+    ne_pad = col.shape[0]
+    bump = jnp.zeros(ne_pad, jnp.int32).at[rp_starts[1:]].add(
+        1, mode="drop", indices_are_sorted=True)
+    u_loc = jnp.cumsum(bump, dtype=jnp.int32)
+    valid = jnp.arange(ne_pad, dtype=jnp.int32) < rp_starts[-1]
+    hit = valid & (dist[jnp.clip(col, 0, dist.shape[0] - 1)] == level)
+    reached = jnp.zeros((n_rows,), jnp.bool_).at[u_loc].max(
+        hit, mode="drop")
+    seg = jax.lax.dynamic_slice_in_dim(dist, vlo, n_rows)
+    upd = reached & (seg < 0)
+    return jax.lax.dynamic_update_slice_in_dim(
+        new_dist, jnp.where(upd, level + 1, seg), vlo, axis=0), jnp.any(upd)
+
+
+def bfs_streaming(cg: CompressedGraph, source: int, *,
+                  block_bytes: int = 32 << 20) -> np.ndarray:
+    """Level-synchronous BFS pulling DIRECTLY off the compressed stream
+    (the bfs_gcgt compressed-BFS analog): each level decodes the graph
+    block-by-block on device — peak HBM = stream + one block + the
+    (nv,) dist vector; the (ne,) CSR never exists. Structurally
+    symmetric graphs (pull == push reachability). Cost: one full
+    stream decode per level — memory bought with decode work, the same
+    trade the reference's compressed kernels make."""
+    st = open_cgr_stream(cg)
+    nv = st.nv
+    cum = np.concatenate([[0], np.cumsum(st.deg)])
+    target_edges = max(block_bytes // 8, 1 << 12)
+    bounds = []
+    lo = 0
+    while lo < nv:
+        hi = int(np.searchsorted(cum, cum[lo] + target_edges, "left"))
+        hi = max(lo + 1, min(hi, nv))
+        bounds.append((lo, hi))
+        lo = hi
+    dist = jnp.full((nv,), -1, jnp.int32).at[source].set(0)
+    level = 0
+    while True:
+        new_dist = dist
+        any_upd = False
+        for (vlo, vhi) in bounds:
+            col, rp, _ne_blk = _decode_block(st, vlo, vhi)
+            rp_d = jnp.asarray(np.clip(rp, 0, int(col.shape[0]))
+                               .astype(np.int32))
+            new_dist, upd = _bfs_block_sweep(
+                col, rp_d, dist, new_dist, vlo, vhi - vlo,
+                jnp.int32(level))
+            any_upd = any_upd or bool(upd)
+        if not any_upd:
+            return np.asarray(dist)
+        dist = new_dist
+        level += 1
+
+
 @functools.partial(jax.jit, static_argnames=("wa", "sent"))
 def _count_edges(packedI, packedJ, us, vs, valid, wa: int, sent: int):
     """|N+(u) ∩ N+(v)| summed over an edge chunk: compare-all between

@@ -647,3 +647,17 @@ def test_tc_streaming_interval_fallback(tmp_path):
         assert run_benchmark("tc", prefix, []) == 0
     finally:
         os.environ.pop("GAB_TC_STREAM", None)
+
+
+def test_bfs_streaming_cgr():
+    """Streaming BFS off the compressed stream equals the serial oracle
+    (multi-block, symmetric fixture)."""
+    from graphaibench_tpu.analytics import verifiers
+    from graphaibench_tpu.analytics.tc_stream import bfs_streaming
+    from graphaibench_tpu.compress import cgr
+    from graphaibench_tpu.graph.io import load_graph
+
+    g = load_graph("/root/reference/inputs/citeseer")
+    cg = cgr.encode_graph(g, cgr.CgrConfig())
+    dist = bfs_streaming(cg, 0, block_bytes=1 << 15)
+    np.testing.assert_array_equal(dist, verifiers.bfs_serial(g, 0))
