@@ -14,6 +14,7 @@ directly comparable with the C++ binaries.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -53,6 +54,12 @@ class ModelConfig:
     lr: float = 0.02
     spmm_impl: str = "auto"
     optimizer: str = "adam"   # any key of nn/optim.OPTIMIZERS
+    # rematerialize each gconv layer in the backward pass
+    # (jax.checkpoint): trades one extra forward sweep per layer for
+    # not storing its activations — what fits a 3x256 products-scale
+    # stack into 16 GB HBM (the run-sage-products.sh recipe shape,
+    # which otherwise exceeds HBM by ~0.8 GB at compile)
+    remat: bool = False
 
     def __post_init__(self):
         assert self.arch in ("gcn", "sage", "gat", "ggnn"), self.arch
@@ -236,6 +243,15 @@ def apply_model(
     h = x
     for l, (_, _, act) in enumerate(cfg.gconv_dims):
         k = jax.random.fold_in(key, l) if key is not None else None
+        layer = fwd
+        if cfg.remat and not return_intermediates:
+            layer = jax.checkpoint(
+                functools.partial(fwd, act=act, cfg=cfg, train=train,
+                                  key=k, trivial_w=trivial_w))
+            h = layer(params["gconv"][l], dg, edge_w, h)
+            if return_intermediates:
+                acts.append(h)
+            continue
         h = fwd(params["gconv"][l], dg, edge_w, h, act=act, cfg=cfg,
                 train=train, key=k, trivial_w=trivial_w)
         if return_intermediates:

@@ -320,3 +320,34 @@ def test_train_epochs_scan_batching():
         l2, _ = m2.train_epoch()
     # both training modes land in the same neighborhood
     assert abs(l2 - losses[-1]) < 0.35
+
+
+def test_remat_matches_plain():
+    """cfg.remat (jax.checkpoint per gconv layer) must not change the
+    math: identical loss/grads over 3 steps for every arch."""
+    import numpy as np
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.layers import ModelConfig
+    from graphaibench_tpu.nn.model import Model
+
+    g = rmat(9, 6, seed=1)
+    rng = np.random.default_rng(0)
+    feat, ncls, nv = 12, 5, g.nv
+    feats = rng.standard_normal((nv, feat)).astype(np.float32)
+    labels = rng.integers(0, ncls, nv).astype(np.int32)
+    mask = np.ones(nv, dtype=np.uint8)
+    tr = (0, nv, nv)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=ncls,
+                    train_range=tr, val_range=tr, test_range=tr)
+    for arch in ("gcn", "sage", "gat"):
+        losses = {}
+        for remat in (False, True):
+            cfg = ModelConfig(arch=arch, num_layers=3, dim_init=feat,
+                              dim_hid=16, num_cls=ncls, remat=remat)
+            m = Model(cfg, ds)
+            losses[remat] = [m.train_epoch()[0] for _ in range(3)]
+        np.testing.assert_allclose(losses[False], losses[True],
+                                   rtol=2e-5, atol=2e-6)

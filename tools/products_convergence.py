@@ -64,9 +64,11 @@ def main():
     print(f"graph |V| {nv} |E| {ne} ({time.perf_counter()-t0:.0f}s)",
           flush=True)
 
+    # remat: the 3x256 recipe shape exceeds 16 GB HBM by ~0.8 GB
+    # without layer rematerialization (products_convergence.err r5)
     cfg = ModelConfig(arch=args.arch, num_layers=args.layers,
                       dim_init=feat, dim_hid=args.hidden, num_cls=classes,
-                      lr=0.01)
+                      lr=0.01, remat=args.layers * args.hidden >= 512)
 
     # ogbn-products-shaped contiguous range split: ~8% train, ~2% val
     n_tr = int(nv * 0.08)
