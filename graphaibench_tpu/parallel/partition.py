@@ -57,6 +57,15 @@ class ShardedGraph:
     # real (unpadded) per-shard halo sizes — h_max is padded to >=8;
     # bandwidth/efficiency models must use these, not P*h_max
     halo_counts: np.ndarray = None  # (P,) int64
+    # contiguous block starts (P,) and the global-id -> padded-slot map
+    # (nv,): identity-block layout under balance="vertex" (slot == id);
+    # under balance="edge" the blocks have unequal vertex counts (equal
+    # EDGES instead — rmat hubs concentrate in low ids and uniform
+    # blocks measured 3.6x max/mean edge imbalance at P=16,
+    # weak_scaling_project.json), so vertex-row arrays must scatter
+    # through ``perm``
+    block_lo: np.ndarray = None     # (P,) int64
+    perm: np.ndarray = None         # (nv,) int64 global id -> padded slot
 
     @property
     def padded_nv(self) -> int:
@@ -69,20 +78,45 @@ def build_sharded_graph(
     num_shards: int,
     *,
     row_align: int = 8,
+    balance: str = "vertex",
 ) -> ShardedGraph:
-    """Partition into ``num_shards`` uniform vertex blocks with 1-hop
-    halo plans. ``edge_w`` are global per-edge weights in CSR order."""
+    """Partition into ``num_shards`` contiguous vertex blocks with 1-hop
+    halo plans. ``edge_w`` are global per-edge weights in CSR order.
+
+    ``balance``: "vertex" (uniform blocks — slot == global id) or
+    "edge" (equal-EDGE cuts: block vertex counts vary, rows pad per
+    shard to the largest block; fixes the measured 3.6x max/mean edge
+    imbalance of uniform blocks on rmat at P=16 at the price of extra
+    feature-row padding)."""
     P = num_shards
-    nv_pad = _round_up(_ceil_div(g.nv, P), row_align)
     src_all, dst_all = g.coo()
     eid_all = np.arange(g.ne, dtype=np.int64)
 
+    if balance == "edge" and g.ne:
+        cum = np.concatenate([[0], np.cumsum(g.degrees(),
+                                             dtype=np.int64)])
+        target = g.ne / P
+        block_lo = [0]
+        for p in range(1, P):
+            hi = int(np.searchsorted(cum, p * target, side="left"))
+            block_lo.append(min(max(hi, block_lo[-1] + 1), g.nv))
+        block_lo = np.asarray(block_lo, np.int64)
+        block_hi = np.concatenate([block_lo[1:], [g.nv]])
+        nv_pad = _round_up(max(int((block_hi - block_lo).max()), 1),
+                           row_align)
+    else:
+        nv_pad = _round_up(_ceil_div(g.nv, P), row_align)
+        block_lo = np.arange(P, dtype=np.int64) * nv_pad
+        block_hi = np.minimum(block_lo + nv_pad, g.nv)
+
+    def owner_of(ids):
+        return (np.searchsorted(block_lo, ids, side="right") - 1).clip(
+            0, P - 1)
+
     per = []
     for p in range(P):
-        lo = p * nv_pad
-        hi = min((p + 1) * nv_pad, g.nv)
-        if lo >= g.nv:
-            em = np.zeros(0, dtype=bool)
+        lo, hi = int(block_lo[p]), int(block_hi[p])
+        if lo >= g.nv or hi <= lo:
             src = dst = eid = np.empty(0, dtype=np.int64)
         else:
             em = (src_all >= lo) & (src_all < hi)
@@ -102,7 +136,7 @@ def build_sharded_graph(
     s_max = 1
     for q in range(P):
         halo = per[q]["halo"]
-        owner = np.minimum(halo // nv_pad, P - 1)
+        owner = owner_of(halo)
         for p in range(P):
             ids = halo[owner == p]
             send_lists[p][q] = ids
@@ -146,16 +180,27 @@ def build_sharded_graph(
             ids = send_lists[p][q]       # p sends these to q
             send_idx[p, q, : len(ids)] = ids - per[p]["lo"]
 
+    ids = np.arange(g.nv, dtype=np.int64)
+    own = owner_of(ids)
+    perm = own * nv_pad + (ids - block_lo[own])
     return ShardedGraph(
         num_shards=P, nv=g.nv, nv_pad=nv_pad, e_max=e_max, h_max=h_max,
         s_max=s_max, edge_src=edge_src, col_idx=col_idx, edge_w=w_arr,
         edge_valid=valid, edge_gid=egid, send_idx=send_idx, halo_map=halo_map,
         halo_counts=np.array([len(p_["halo"]) for p_ in per], dtype=np.int64),
+        block_lo=block_lo, perm=perm,
     )
 
 
-def pad_rows(x: np.ndarray, padded_nv: int) -> np.ndarray:
-    """Pad a (nv, ...) vertex array with zero rows to the sharded size."""
+def pad_rows(x: np.ndarray, padded_nv: int, perm: np.ndarray = None
+             ) -> np.ndarray:
+    """Lay a (nv, ...) vertex array out in the sharded row space:
+    zero-pad to ``padded_nv`` rows, scattering row i to ``perm[i]``
+    (identity under balance="vertex", where it reduces to a tail pad)."""
+    if perm is not None:
+        out = np.zeros((padded_nv,) + x.shape[1:], dtype=x.dtype)
+        out[perm] = x
+        return out
     pad = padded_nv - x.shape[0]
     if pad <= 0:
         return x

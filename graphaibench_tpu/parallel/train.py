@@ -358,14 +358,17 @@ def prepare_trainer_host(
     begin, end, _count = train_range
     nv, nv_total = sg.nv, sg.padded_nv
 
-    x_pad = pad_rows(feats.astype(np.float32), nv_total)
-    lab_pad = pad_rows(labels.astype(np.int32), nv_total)
-    idx = np.arange(nv_total)
+    # rows scatter through sg.perm (identity layout under the uniform
+    # "vertex" partition; block-compacted under balance="edge")
+    x_pad = pad_rows(feats.astype(np.float32), nv_total, sg.perm)
+    lab_pad = pad_rows(labels.astype(np.int32), nv_total, sg.perm)
+    idx = np.arange(nv)
 
     def _valid(rng_, mask):
         b, e, _ = rng_
-        v = (idx >= b) & (idx < e) & (idx < nv)
-        return v & pad_rows(np.asarray(mask) != 0, nv_total)
+        v = (idx >= b) & (idx < e)          # GLOBAL id ranges
+        v = v & (np.asarray(mask)[:nv] != 0)
+        return pad_rows(v, nv_total, sg.perm)
 
     valid_np = _valid(train_range, train_mask)
     count = max(int(valid_np.sum()), 1)
@@ -431,8 +434,10 @@ def prepare_trainer_host(
                   edge_w=np.zeros((p_, 1), np.float32),
                   edge_valid=np.zeros((p_, 1), bool))
 
+    perm = (None if sg.perm is None
+            or np.array_equal(sg.perm, np.arange(nv)) else sg.perm)
     return dict(x=x_pad, lab=lab_pad, valid=valid_np, ga=ga, ell=ell_host,
-                eval_masks=eval_masks,
+                eval_masks=eval_masks, perm=perm,
                 nv=nv, nv_pad=sg.nv_pad, num_shards=sg.num_shards,
                 begin=begin, end=end, count=count)
 
@@ -652,8 +657,13 @@ def trainer_from_host(
 
     _logits_jit = jax.jit(logits_sm)
 
+    perm_h = host.get("perm")
+
     def eval_logits(params):
-        return _logits_jit(params, x_d, ell_dev, *ga_args)[:nv]
+        lg = _logits_jit(params, x_d, ell_dev, *ga_args)
+        if perm_h is not None:   # edge-balanced blocks: de-permute rows
+            return jnp.asarray(np.asarray(lg)[perm_h])
+        return lg[:nv]
 
     # in-mesh masked accuracy: per-shard correct/total counts,
     # psum-reduced — the replicated scalars are process-local to fetch,

@@ -542,3 +542,52 @@ def test_tp_trainer_from_shard_files(tmp_path):
     _, _, l_file = t_file.train_step(params, opt)
     np.testing.assert_allclose(np.asarray(l_file), np.asarray(l_mem),
                                rtol=0, atol=0)
+
+
+def test_edge_balanced_partition_matches_single(mesh):
+    """balance="edge" (equal-edge contiguous blocks + perm row layout)
+    must train identically to the single-device Model AND balance edges
+    better than uniform blocks on a skewed graph."""
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.model import (
+        Model,
+        aggregation_weights,
+        prepare_graph,
+    )
+    from graphaibench_tpu.nn.optim import Adam
+
+    g = rmat(9, 6, seed=4)   # power-law: uniform blocks skew badly
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((g.nv, 10)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, dtype=np.uint8)
+    tr = (0, g.nv // 2, g.nv // 2)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=4,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=10, dim_hid=8,
+                      num_cls=4, lr=0.02)
+    single = Model(cfg, ds)
+    prepped = prepare_graph(g, "gcn")
+    w = aggregation_weights(prepped, "gcn")
+    P_ = mesh.devices.size
+    sg_u = build_sharded_graph(prepped, w, P_)
+    sg_e = build_sharded_graph(prepped, w, P_, balance="edge")
+    bal_u = sg_u.edge_valid.sum(1).max() / max(sg_u.edge_valid.sum(1).mean(), 1)
+    bal_e = sg_e.edge_valid.sum(1).max() / max(sg_e.edge_valid.sum(1).mean(), 1)
+    assert bal_e < bal_u, (bal_e, bal_u)
+    assert not np.array_equal(sg_e.perm, np.arange(g.nv))  # real layout
+
+    trainer = make_sharded_trainer(mesh, cfg, sg_e, feats, labels, tr, mask)
+    params = init_params(cfg)
+    opt_state = Adam(lr=cfg.lr).init(params)
+    lg_d = np.asarray(trainer.eval_logits(params))
+    lg_s = np.asarray(single._eval_logits(
+        single.params, single.full.device, single.full.edge_w,
+        single.feats))
+    np.testing.assert_allclose(lg_d, lg_s, rtol=1e-4, atol=1e-5)
+    for step in range(3):
+        s_loss, _ = single.train_epoch()
+        params, opt_state, d_loss = trainer.train_step(params, opt_state)
+        assert abs(s_loss - float(d_loss)) < 2e-4, (step, s_loss)

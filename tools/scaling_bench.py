@@ -62,7 +62,7 @@ def project(args):
         scale = args.scale + i
         g = T.add_selfloop(rmat(scale, 16, seed=0, cache=True))
         w = T.gcn_edge_norms(g)
-        sg = build_sharded_graph(g, w, p)
+        sg = build_sharded_graph(g, w, p, balance=args.balance)
         per_edges = sg.edge_valid.sum(axis=1)
         halo_rows = np.asarray(sg.halo_counts)
         halo_bytes = halo_rows * args.feat * 4      # per layer, f32 rows
@@ -85,7 +85,7 @@ def project(args):
         print(json.dumps(rec), flush=True)
     print(json.dumps({"metric": "weak_scaling_projection",
                       "feat": args.feat, "rate_edges_per_s": RATE,
-                      "rows": results}))
+                      "balance": args.balance, "rows": results}))
     return 0
 
 
@@ -97,6 +97,8 @@ def main():
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--cpu", action="store_true",
                     help="force a virtual 8-device CPU mesh")
+    ap.add_argument("--balance", default="vertex",
+                    choices=["vertex", "edge"])
     args = ap.parse_args()
 
     if args.mode == "project":
