@@ -63,6 +63,32 @@ def _hindex_layout(g: CSRGraph) -> tuple:
                             widths, split))
 
 
+def _row_hindex(vals: jnp.ndarray, w: int, dtype) -> jnp.ndarray:
+    """Per-row h-index of a (r, W) clamped block.
+
+    Default: in-register binary search on h (h in [0, W]): ~log2(W)+1
+    compare+reduce passes over the gathered block, vs the bitonic
+    sort's ~log^2(W) compare-exchange stages (GAB_KCORE_SORT=1 keeps
+    the sort for A/Bs). cnt(>=t) is non-increasing in t, so
+    h = max t with cnt(>=t) >= t binary-searches exactly."""
+    import os
+
+    if os.environ.get("GAB_KCORE_SORT", "") == "1":
+        ladder = jnp.arange(1, w + 1, dtype=dtype)[None, :]
+        sv = -jnp.sort(-vals, axis=1)         # descending
+        return jnp.sum((sv >= ladder).astype(dtype), axis=1)
+    lo = jnp.zeros((vals.shape[0],), dtype)
+    hi = jnp.full((vals.shape[0],), w, dtype)
+    steps = max(int(np.ceil(np.log2(w + 1))), 1)
+    for _ in range(steps + 1):
+        mid = (lo + hi + 1) >> 1
+        cnt = jnp.sum((vals >= mid[:, None]).astype(dtype), axis=1)
+        ok = cnt >= mid
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+    return lo
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _hindex_sweep(core: jnp.ndarray, buckets: tuple, sentinel: int):
     """One fixpoint sweep: new[v] = min(core[v], H(core[N(v)]))."""
@@ -72,16 +98,14 @@ def _hindex_sweep(core: jnp.ndarray, buckets: tuple, sentinel: int):
     new = core
     for b in buckets:
         w = b.width
-        ladder = jnp.arange(1, w + 1, dtype=core.dtype)[None, :]
         for clo, chi in bucket_row_chunks(b, 2):
             rows, nbr, eid = b.slot_slice(clo, chi)
             vals = c2[nbr][:, 0].reshape(-1, w)
             vals = jnp.where(eid.reshape(-1, w) == sentinel, 0, vals)
-            # h <= row degree <= w: clamping keeps h exact and the sort
-            # keys small
+            # h <= row degree <= w: clamping keeps h exact and the
+            # search range small
             vals = jnp.minimum(vals, w)
-            sv = -jnp.sort(-vals, axis=1)     # descending
-            h = jnp.sum((sv >= ladder).astype(core.dtype), axis=1)
+            h = _row_hindex(vals, w, core.dtype)
             # rows are unique (no splitting): min against current core
             new = new.at[rows].min(h)
     changed = jnp.sum((new != core).astype(jnp.int32))
