@@ -210,13 +210,40 @@ def triangle_count_streaming(cg: CompressedGraph, *,
     # ne_blk*4 and packed matrix both bounded by it)
     cum = np.concatenate([[0], np.cumsum(st.deg)])
     target_edges = max(block_bytes // 8, 1 << 12)
+    slot_budget = max(block_bytes // 4, 1 << 14)
+
+    def initial_bounds():
+        out, lo = [], 0
+        while lo < nv:
+            hi = int(np.searchsorted(cum, cum[lo] + target_edges, "left"))
+            hi = max(lo + 1, min(hi, nv))
+            out.append((lo, hi))
+            lo = hi
+        return out
+
+    # refinement pre-pass: the packed matrix is (n_rows, w_pad) DENSE,
+    # and w (the block's max DAG out-degree) is only known after a
+    # decode — blocks whose matrix would exceed the slot budget split
+    # at their edge midpoint until every block fits (memory over speed:
+    # re-decodes are the price of the bounded footprint)
+    work = initial_bounds()
     bounds = []
-    lo = 0
-    while lo < nv:
-        hi = int(np.searchsorted(cum, cum[lo] + target_edges, "left"))
-        hi = max(lo + 1, min(hi, nv))
-        bounds.append((lo, hi))
-        lo = hi
+    while work:
+        ilo, ihi = work.pop()
+        colI, rpI, _ = _decode_block(st, ilo, ihi)
+        rpI_d = jnp.asarray(np.clip(rpI, 0, int(colI.shape[0]))
+                            .astype(np.int32))
+        _, _, _, _, dd = _dag_pack(colI, rpI_d, st.deg_d, ilo,
+                                   ihi - ilo, 1, int(colI.shape[0]))
+        wI = _pow2(max(int(jnp.max(dd)), 1))
+        if (ihi - ilo) * wI > slot_budget and ihi - ilo > 1:
+            mid = int(np.searchsorted(cum, (cum[ilo] + cum[ihi]) // 2,
+                                      "left"))
+            mid = min(max(mid, ilo + 1), ihi - 1)
+            work.extend([(ilo, mid), (mid, ihi)])
+        else:
+            bounds.append((ilo, ihi))
+    bounds.sort()
     stats = {"blocks": len(bounds), "ne": ne, "nv": nv,
              "peak_block_slots": 0}
 
