@@ -207,19 +207,22 @@ def _vgb_tag_chain(blocks, lut, pos, n_groups, gbase, tagpos, trip: int):
     """Phase 1: walk each lane's group chain, recording every group's
     absolute tag-byte position into the flat (G+1,) buffer. One
     (L, 64)-word double-block row gather advances _VGB_SUBS groups —
-    each sub-step is one in-row byte pick + one 256-entry LUT lookup."""
+    each sub-step is one in-row byte pick + one 256-entry LUT lookup.
+    Positions accumulate as scan OUTPUTS and scatter once at the end —
+    the first formulation scattered per sub-step (7 scatters/step) and
+    measured 10.0 M e/s resident at rmat17 (decode_bench_r5.json)."""
     g_cap = tagpos.shape[0] - 1
 
     def step(carry, _):
-        p, gi, tp = carry
+        p, gi = carry
         blk = p >> 7                                   # 128-byte blocks
         row = jnp.concatenate([blocks[blk], blocks[blk + 1]],
                               axis=1)                  # (L, 64) words
         rel = p & 127
+        out = []
         for s in range(_VGB_SUBS):
             active = gi + s < n_groups
-            slots = jnp.where(active, gbase + gi + s, g_cap)
-            tp = tp.at[slots].set(p, mode="drop")
+            out.append(p)
             j = (rel >> 2).astype(jnp.int32)
             w = jnp.take_along_axis(row, j[:, None], axis=1)[:, 0]
             tag = ((w.astype(jnp.uint32)
@@ -228,11 +231,17 @@ def _vgb_tag_chain(blocks, lut, pos, n_groups, gbase, tagpos, trip: int):
             glen = lut[tag]
             p = jnp.where(active, p + glen, p)
             rel = jnp.where(active, rel + glen, rel)
-        return (p, gi + _VGB_SUBS, tp), None
+        return (p, gi + _VGB_SUBS), jnp.stack(out, axis=1)  # (L, SUBS)
 
-    (_, _, tagpos), _ = jax.lax.scan(
-        step, (pos, jnp.zeros_like(pos), tagpos), None, length=trip)
-    return tagpos
+    (_, _), ps = jax.lax.scan(
+        step, (pos, jnp.zeros_like(pos)), None, length=trip)
+    # ps: (trip, L, SUBS) -> group index t*SUBS + s for lane l
+    t = jnp.arange(trip, dtype=jnp.int32)[:, None, None]
+    s = jnp.arange(_VGB_SUBS, dtype=jnp.int32)[None, None, :]
+    gi = t * _VGB_SUBS + s
+    slots = jnp.where(gi < n_groups[None, :, None],
+                      gbase[None, :, None] + gi, g_cap)
+    return tagpos.at[slots].set(ps, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("nv", "ne", "n_g"))
