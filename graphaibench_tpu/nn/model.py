@@ -90,9 +90,25 @@ class GraphBundle:
         if (arch != "gat" and (device.ell or device.seg_ell is not None)
                 and prepped.nv > 4096
                 and _pick_impl(device, spmm_impl) == "ell"):
-            from graphaibench_tpu.ops.device_graph import pack_edge_values
+            from graphaibench_tpu.ops.device_graph import (
+                SEG_ELL_MIN_NV,
+                pack_edge_values,
+                slim_for_packed,
+            )
 
             packed = pack_edge_values(device, edge_w)
+            if prepped.nv >= SEG_ELL_MIN_NV:
+                # the packed static-weight path never reads the COO
+                # arrays, trans_perm, the bucket edge ids, or the raw
+                # (ne,) weight copies — at products shape ~2.6 GB of
+                # dead HBM (the 3x256 recipe's compile-OOM shortfall);
+                # the sharded trainer drops the same arrays
+                import dataclasses as _dc
+
+                device = slim_for_packed(device)
+                packed = _dc.replace(
+                    packed, raw=jnp.zeros((1,), packed.raw.dtype))
+                edge_w = jnp.zeros((1,), jnp.float32)
         return cls(host=prepped, device=device, edge_w=edge_w,
                    packed_w=packed)
 

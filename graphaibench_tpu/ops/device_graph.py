@@ -165,10 +165,13 @@ class SegmentedEll:
         are reassembled in bucket order (padding-only group rows were
         never materialized, so absent (width, segment) pairs are simply
         missing from that segment's tuple)."""
+        def _eid(e, k):
+            return None if e is None else e[k]
+
         if self.group_segs is None:
             return tuple(
                 tuple(EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
-                                edge_id=b.edge_id[s], width=b.width)
+                                edge_id=_eid(b.edge_id, s), width=b.width)
                       for b in self.buckets)
                 for s in range(self.nseg))
         per_seg: list = [[] for _ in range(self.nseg)]
@@ -176,7 +179,7 @@ class SegmentedEll:
             for j, s in enumerate(segs_ids):
                 per_seg[s].append(
                     EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
-                              edge_id=b.edge_id[j], width=b.width))
+                              edge_id=_eid(b.edge_id, j), width=b.width))
         return tuple(tuple(bl) for bl in per_seg)
 
 
@@ -304,15 +307,17 @@ def iter_layout(g: DeviceGraph, packed=None):
             for gi, (segs_ids, b) in enumerate(zip(ss.group_segs,
                                                    ss.buckets)):
                 for j, s in enumerate(segs_ids):
+                    eid = None if b.edge_id is None else b.edge_id[j]
                     bv = EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
-                                   edge_id=b.edge_id[j], width=b.width)
+                                   edge_id=eid, width=b.width)
                     yield bv, ss.bounds[s], (
                         None if packed is None else packed[gi][j])
             return
         for s, bounds in enumerate(ss.bounds):
             for i, b in enumerate(ss.buckets):
+                eid = None if b.edge_id is None else b.edge_id[s]
                 bv = EllBucket(row_ids=b.row_ids[s], nbr=b.nbr[s],
-                               edge_id=b.edge_id[s], width=b.width)
+                               edge_id=eid, width=b.width)
                 yield bv, bounds, (None if packed is None else packed[i][s])
     else:
         for i, b in enumerate(g.ell):
@@ -408,8 +413,9 @@ def sweep_grouped(ss: "SegmentedEll", carry, tables: tuple, bucket_fn,
         if len(segs_ids) == 1 or not scan:
             for j, s in enumerate(segs_ids):
                 lo, hi = bounds[s]
+                eid = None if b.edge_id is None else b.edge_id[j]
                 bv = EllBucket(row_ids=b.row_ids[j], nbr=b.nbr[j],
-                               edge_id=b.edge_id[j], width=b.width)
+                               edge_id=eid, width=b.width)
                 ts = tuple(t[lo:hi] for t in tables)
                 carry = bucket_fn(carry, bv,
                                   None if pk is None else pk[j], *ts)
@@ -842,6 +848,27 @@ def seg_bounds(nv: int, dst: np.ndarray, seg_rows: int = SEG_ROWS) -> tuple:
         bounds.append((lo, hi))
         lo = hi
     return tuple(bounds)
+
+
+def slim_for_packed(g: DeviceGraph) -> DeviceGraph:
+    """Drop the device arrays the packed static-weight SpMM path never
+    reads: the COO edge arrays, the transpose permutation (the packed
+    adjoint pre-gathers transposed weights), and the bucket edge ids
+    (packed kernels gather weights from the pre-packed tables). At
+    products shape these were ~1.8 GB of dead HBM. Consumers that need
+    them (GAT, runtime per-edge weights, analytics) must keep the full
+    graph."""
+    def strip(b):
+        return dataclasses.replace(b, edge_id=None)
+
+    seg = g.seg_ell
+    if seg is not None:
+        seg = dataclasses.replace(
+            seg, buckets=tuple(strip(b) for b in seg.buckets))
+    one = jnp.zeros((1,), jnp.int32)
+    return dataclasses.replace(
+        g, col_idx=one, edge_src=one, trans_perm=None,
+        ell=tuple(strip(b) for b in g.ell), seg_ell=seg)
 
 
 def to_device_graph(

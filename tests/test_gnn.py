@@ -351,3 +351,36 @@ def test_remat_matches_plain():
             losses[remat] = [m.train_epoch()[0] for _ in range(3)]
         np.testing.assert_allclose(losses[False], losses[True],
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_slim_packed_bundle_matches_full(monkeypatch):
+    """slim_for_packed (COO/trans_perm/edge-id/raw-weight arrays dropped
+    for the packed static-weight path) must not change training or eval
+    — at scale those arrays were ~2.6 GB of dead HBM."""
+    import numpy as np
+
+    import graphaibench_tpu.ops.device_graph as dg_mod
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.layers import ModelConfig
+    from graphaibench_tpu.nn.model import Model
+
+    g = rmat(13, 8, seed=1)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((g.nv, 16)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, np.uint8)
+    tr = (0, g.nv, g.nv)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=4,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch="gcn", num_layers=2, dim_init=16, dim_hid=8,
+                      num_cls=4)
+    m_ref = Model(cfg, ds)
+    l_ref = [m_ref.train_epoch()[0] for _ in range(3)]
+    monkeypatch.setattr(dg_mod, "SEG_ELL_MIN_NV", 1)
+    m_slim = Model(cfg, ds)
+    assert m_slim.full.device.trans_perm is None  # slim active
+    l_slim = [m_slim.train_epoch()[0] for _ in range(3)]
+    np.testing.assert_allclose(l_ref, l_slim, rtol=2e-5)
+    assert 0.0 <= m_slim.evaluate("test") <= 1.0
