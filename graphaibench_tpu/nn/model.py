@@ -109,6 +109,17 @@ class GraphBundle:
                 packed = _dc.replace(
                     packed, raw=jnp.zeros((1,), packed.raw.dtype))
                 edge_w = jnp.zeros((1,), jnp.float32)
+        if arch == "gat" and prepped.nv >= (1 << 19) and (
+                device.ell or device.seg_ell is not None):
+            # the fused v2 GAT path reads only the buckets (with edge
+            # ids, for pad masking) — the COO arrays and trans_perm are
+            # v1-only and cost ~1.2 GB at products shape (the round-5
+            # GAT ResourceExhausted margin)
+            import dataclasses as _dc
+
+            one = jnp.zeros((1,), jnp.int32)
+            device = _dc.replace(device, col_idx=one, edge_src=one,
+                                 trans_perm=None)
         return cls(host=prepped, device=device, edge_w=edge_w,
                    packed_w=packed)
 

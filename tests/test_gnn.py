@@ -384,3 +384,43 @@ def test_slim_packed_bundle_matches_full(monkeypatch):
     l_slim = [m_slim.train_epoch()[0] for _ in range(3)]
     np.testing.assert_allclose(l_ref, l_slim, rtol=2e-5)
     assert 0.0 <= m_slim.evaluate("test") <= 1.0
+
+
+def test_slim_gat_bundle_matches_full(monkeypatch):
+    """The at-scale GAT bundle drops COO/trans_perm (v2 reads only the
+    buckets) — training and eval must be unchanged."""
+    import numpy as np
+
+    from graphaibench_tpu.graph.generators import rmat
+    from graphaibench_tpu.graph.io import GnnDataset
+    from graphaibench_tpu.nn.layers import ModelConfig
+    from graphaibench_tpu.nn.model import Model
+
+    g = rmat(13, 8, seed=2)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((g.nv, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, g.nv).astype(np.int32)
+    mask = np.ones(g.nv, np.uint8)
+    tr = (0, g.nv, g.nv)
+    ds = GnnDataset(graph=g, feats=feats, labels=labels, train_mask=mask,
+                    val_mask=mask, test_mask=mask, num_classes=4,
+                    train_range=tr, val_range=tr, test_range=tr)
+    cfg = ModelConfig(arch="gat", num_layers=2, dim_init=12, dim_hid=8,
+                      num_cls=4)
+    m_ref = Model(cfg, ds)
+    l_ref = [m_ref.train_epoch()[0] for _ in range(3)]
+    # apply the at-scale slim replacement directly (the production gate
+    # is a size literal)
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    m_slim = Model(cfg, ds)
+    one = jnp.zeros((1,), jnp.int32)
+    slim_dev = dc.replace(m_slim.full.device, col_idx=one, edge_src=one,
+                          trans_perm=None)
+    m_slim.full = dc.replace(m_slim.full, device=slim_dev)
+    m_slim.training = m_slim.full
+    l_slim = [m_slim.train_epoch()[0] for _ in range(3)]
+    np.testing.assert_allclose(l_ref, l_slim, rtol=2e-5)
+    assert 0.0 <= m_slim.evaluate("test") <= 1.0

@@ -70,7 +70,9 @@ def main():
         m = None
         try:
             cfg = ModelConfig(arch=arch, num_layers=2, dim_init=feat,
-                              dim_hid=hid, num_cls=classes, lr=0.01)
+                              dim_hid=hid, num_cls=classes, lr=0.01,
+                              remat=os.environ.get("PRODUCTS_REMAT",
+                                                   "") == "1")
             m = Model(cfg, ds)
             m.train_epochs(epochs)          # compile + warm
             t0 = time.perf_counter()
