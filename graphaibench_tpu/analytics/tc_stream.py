@@ -203,7 +203,15 @@ def _dag_pack(col, rp_starts, deg_d, vlo: int, n_rows: int, w_pad: int,
 def triangle_count_streaming(cg: CompressedGraph, *,
                              block_bytes: int = 32 << 20) -> tuple:
     """Exact triangle count without ever materializing the full CSR.
-    Returns (count, stats dict with peak block sizes)."""
+    Returns (count, stats dict with peak block sizes).
+
+    ``block_bytes`` trades peak footprint against block-PAIR count and
+    jit-shape diversity: every (wa-class, wJ, chunk-length) combination
+    is a distinct compile, and through a tunnelled TPU each costs
+    10-60 s — an 8 MB rmat19 run spent ~1 h mostly compiling where the
+    32 MB default finished in 279 s (tc_stream_19.json, peak block
+    423 MB vs the 65 MB uncompressed CSR; memory-over-speed is the
+    reference's own trade, tc_omp_compressed.cc)."""
     st = open_cgr_stream(cg)
     nv, ne = st.nv, st.ne
     # contiguous equal-edge blocks sized to the byte budget (col buffer
