@@ -185,10 +185,11 @@ def decode_graph_device(vg: VbyteGraph) -> CSRGraph:
 # streamvbyte_decode_device.
 
 
-# groups materially advanced per 256-byte double-block window: the
-# window guarantees >= 129 usable bytes from any in-block start and a
-# worst-case group is 17 bytes
-_VGB_SUBS = 7
+# groups materially advanced per 512-byte double-block window: the
+# window guarantees >= 257 usable bytes from any in-block start and a
+# worst-case group is 17 bytes; a 128-word row still gathers at the
+# full row rate (the 512 B fast-window limit)
+_VGB_SUBS = 15
 
 # outer-trip bucket grid; max decodable degree is
 # 4 * _VGB_SUBS * _VGB_TRIP_GRID[-1]
@@ -215,10 +216,10 @@ def _vgb_tag_chain(blocks, lut, pos, n_groups, gbase, tagpos, trip: int):
 
     def step(carry, _):
         p, gi = carry
-        blk = p >> 7                                   # 128-byte blocks
+        blk = p >> 8                                   # 256-byte blocks
         row = jnp.concatenate([blocks[blk], blocks[blk + 1]],
-                              axis=1)                  # (L, 64) words
-        rel = p & 127
+                              axis=1)                  # (L, 128) words
+        rel = p & 255
         out = []
         for s in range(_VGB_SUBS):
             active = gi + s < n_groups
@@ -320,9 +321,9 @@ def varintgb_device_prep(vg: VbyteGraph) -> dict:
     row_ptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
     assert row_ptr[-1] == ne, (row_ptr[-1], ne)
 
-    # pad to whole 128-byte blocks + two guard blocks (the tag chain's
+    # pad to whole 256-byte blocks + two guard blocks (the tag chain's
     # double-block window and the flat pass's word-pair reads)
-    pad = (-len(vg.data)) % 128 + 256
+    pad = (-len(vg.data)) % 256 + 512
     if len(vg.data) + pad >= 2**31:
         # byte positions are int32 inside the jitted pass (cgr_device
         # asserts the same bound for bit positions); raise ValueError so
@@ -331,7 +332,7 @@ def varintgb_device_prep(vg: VbyteGraph) -> dict:
                          "int32 byte positions")
     raw = vg.data + b"\x00" * pad
     words = jnp.asarray(np.frombuffer(raw, dtype=np.uint32))
-    blocks = words.reshape(-1, 32)                 # 128-byte rows
+    blocks = words.reshape(-1, 64)                 # 256-byte rows
 
     n_groups = -(-deg // 4)
     group_ptr = np.concatenate([[0], np.cumsum(n_groups)])
