@@ -86,13 +86,21 @@ def main():
     m = Model(cfg, ds)
 
     # planted teacher: one normalized aggregation + random readout +
-    # noise -> argmax. Uses the model's own device graph (milliseconds).
-    kw = jax.random.PRNGKey(7)
-    Wt = jax.random.normal(kw, (feat, classes), jnp.float32)
-    agg = spmm(m.full.device, m.full.edge_w_agg, m.feats)
-    logits_t = agg @ Wt + 0.5 * jax.random.normal(
-        jax.random.PRNGKey(8), (nv, classes), jnp.float32)
-    labels = np.asarray(jnp.argmax(logits_t, axis=1), dtype=np.int32)
+    # noise -> argmax. ONE jitted program — eagerly each bucket stage
+    # is a separate remote compile through the tunnel (~10-60 s each;
+    # the round-4 pack_edge_values lesson — this wedged the first two
+    # convergence runs for ~40 min before a single epoch ran)
+    @jax.jit
+    def teacher(dg, w, x):
+        agg = spmm(dg, w, x)
+        Wt = jax.random.normal(jax.random.PRNGKey(7), (feat, classes),
+                               jnp.float32)
+        noise = 0.5 * jax.random.normal(jax.random.PRNGKey(8),
+                                        (x.shape[0], classes), jnp.float32)
+        return jnp.argmax(agg @ Wt + noise, axis=1)
+
+    labels = np.asarray(teacher(m.full.device, m.full.edge_w_agg,
+                                m.feats), dtype=np.int32)
     m.labels = jnp.asarray(labels)
     m.data.labels = labels
     del agg, logits_t
