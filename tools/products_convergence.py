@@ -103,7 +103,6 @@ def main():
                                 m.feats), dtype=np.int32)
     m.labels = jnp.asarray(labels)
     m.data.labels = labels
-    del agg, logits_t
     print(f"planted labels: {len(np.unique(labels))} classes used",
           flush=True)
 
