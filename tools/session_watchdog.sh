@@ -16,7 +16,7 @@ assert float(y[0, 0]) == 128.0
 EOF
   then
     echo "tunnel back at attempt $i" >> tools/results/watchdog.log
-    python tools/products_convergence.py --epochs 30 --val-every 5 \
+    python tools/products_convergence.py --epochs 12 --val-every 4 \
       > tools/results/products_convergence.json 2> tools/results/products_convergence.err
     python tools/frontier_bench.py --scale 19 --which kcore \
       > tools/results/kcore19_hindex_bs.json 2> tools/results/kcore19_hindex_bs.err
